@@ -1,0 +1,45 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-native substitute for "multi-node testing without a cluster"
+(SURVEY.md §4): sharding/collective code paths compile and execute on 8
+virtual CPU devices exactly as they would over ICI.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def synthetic_dataset(tmp_path_factory):
+    """A tiny CWFID-like directory tree: input/*.png + target/*.png.
+
+    Layout matches the reference BaseDataset contract (data/dataset.py:15-62):
+    {root}/train/input, {root}/train/target (subset => semi-sup split),
+    {root}/test/input, {root}/test/target. Mask pixels in {0, 128, 255}.
+    """
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("cwfid")
+    rng = np.random.default_rng(42)
+    for split, n_img, n_lab in (("train", 8, 5), ("test", 3, 3)):
+        d = root / split
+        (d / "input").mkdir(parents=True)
+        (d / "target").mkdir(parents=True)
+        for i in range(n_img):
+            img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            Image.fromarray(img).save(d / "input" / f"im{i:03d}.png")
+            if i < n_lab:
+                mask = rng.choice([0, 128, 255], size=(40, 40)).astype(np.uint8)
+                Image.fromarray(mask, mode="L").save(d / "target" / f"im{i:03d}.png")
+    return str(root)
