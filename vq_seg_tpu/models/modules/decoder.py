@@ -1,0 +1,54 @@
+"""U-Net decoders (NHWC re-design of reference models/networks/unet/decoder.py).
+
+``UnetDecoder``: deepest feature first; each block is double conv-BN-ReLU on
+the concat of the bilinearly-resized previous output and the skip
+(decoder.py:14-39).  Channel plan: encoder_channels reversed (sans input),
+decoder_channels e.g. (1024, 512, 256, 128, 32) for resnet50
+(unet/net.py:823-825).
+
+``CCAUnetDecoder``: same with flag-gated CCA attention after each block
+(decoder.py:42-72).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vq_seg_tpu.models.layers import ConvBNReLU, resize_bilinear
+from vq_seg_tpu.models.modules.attention import CCA
+
+
+class DoubleConv(nn.Module):
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = ConvBNReLU(self.features, self.kernel_size)(x, train)
+        x = ConvBNReLU(self.features, self.kernel_size)(x, train)
+        return x
+
+
+class UnetDecoder(nn.Module):
+    decoder_channels: Sequence[int]
+    cca: Optional[Sequence[bool]] = None  # CCAUnetDecoder when set
+
+    @nn.compact
+    def __call__(self, features, train: bool = False):
+        """features: encoder stage outputs shallow->deep, *without* the raw
+        input (the callers pass encoder(x)[1:], unet/net.py:832)."""
+        feats = list(features)[::-1]  # deep -> shallow
+        x = feats[0]
+        n_blocks = len(self.decoder_channels)
+        for i in range(n_blocks):
+            if i > 0:
+                skip = feats[i]
+                up = resize_bilinear(x, skip.shape[1:3])
+                x = jnp.concatenate([up, skip], axis=-1)
+            x = DoubleConv(self.decoder_channels[i], name=f"block{i}")(x, train)
+            if self.cca is not None and self.cca[i]:
+                x = CCA(self.decoder_channels[i], self.decoder_channels[i],
+                        name=f"cca{i}")(x, train)
+        return x

@@ -44,7 +44,4 @@ def _load_all():
         "vqvae",
         "ablation",
     ):
-        try:
-            importlib.import_module(f"vq_seg_tpu.models.networks.{mod}")
-        except ImportError:
-            pass  # module not built yet (progressive bring-up)
+        importlib.import_module(f"vq_seg_tpu.models.networks.{mod}")
