@@ -6,10 +6,17 @@ virtual CPU devices exactly as they would over ICI.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin registers itself from sitecustomize at interpreter
+# start (PALLAS_AXON_POOL_IPS) and forces the tunneled TPU; env vars set
+# here are too late — override via jax.config, which wins over the plugin.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

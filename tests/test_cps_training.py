@@ -1,0 +1,89 @@
+"""CPS fused train step + init phase tests (reference
+train_vqreptunet1x1v2.py semantics, SURVEY.md §3.1)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vq_seg_tpu.losses import make_loss
+from vq_seg_tpu.models.networks import make_model
+from vq_seg_tpu.training.cps import (
+    cps_init_phase,
+    create_cps_state,
+    make_cps_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def cps_setup():
+    model = make_model({"name": "vqreptunet1x1v2", "params": {
+        "encoder_name": "resnet18", "num_classes": 3,
+        "vq_cfg": {"num_embeddings": [0, 0, 8, 8, 8], "distance": "euclidean",
+                   "kmeans_init": True},
+        "margin": 0.5, "scale": 30.0,
+    }})
+    tx = optax.adam(1e-3)
+    dice = make_loss("dice_loss", 3, ignore_index=255)
+    rng = np.random.default_rng(0)
+    l_img = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    l_target = jnp.asarray(rng.integers(0, 3, size=(2, 32, 32)).astype(np.int32))
+    ul_img = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    state = create_cps_state(model, tx, (l_img, l_target, 0.7))
+    state = cps_init_phase(model, state, l_img, l_target, 0.7)
+    step = make_cps_train_step(model, tx, dice, num_classes=3,
+                               confidence_threshold=0.7,
+                               cps_loss_weight=1.0, commitment_loss_weight=1.0,
+                               prototype_loss_weight=0.01)
+    return model, state, step, (l_img, l_target, ul_img)
+
+
+def _fresh(state):
+    # the train step donates its input state; copy so tests stay independent
+    return jax.tree_util.tree_map(jnp.copy, state)
+
+
+def test_init_phase_sets_codebooks(cps_setup):
+    model, state, step, _ = cps_setup
+    cb = state.variables_1["codebook"]
+    leaves = jax.tree_util.tree_leaves(cb)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # the two models are decorrelated: at least one param leaf must differ
+    # (BN scales are 1-initialised in both, so check across all leaves)
+    l1 = jax.tree_util.tree_leaves(state.variables_1["params"])
+    l2 = jax.tree_util.tree_leaves(state.variables_2["params"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(l1, l2))
+
+
+def test_train_step_updates_and_metrics(cps_setup):
+    model, state, step, (l_img, l_target, ul_img) = cps_setup
+    state = _fresh(state)
+    p_before = np.asarray(jax.tree_util.tree_leaves(state.variables_1["params"])[0])
+    state2, metrics, pred_sup, pred_ul = step(state, l_img, l_target, ul_img)
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["miou"]) <= 1.0
+    assert pred_sup.shape == (2, 32, 32, 3)
+    assert metrics["code_usage"].shape == (3,)
+    p_after = np.asarray(jax.tree_util.tree_leaves(state2.variables_1["params"])[0])
+    assert not np.allclose(p_before, p_after)
+    assert int(state2.step) == int(state2.step)  # device scalar fetch works
+
+    # the supervised component must come down on a fixed batch (total loss
+    # includes the scale-30 prototype term, which wobbles early)
+    sup = [float(metrics["sup_loss_1"])]
+    for _ in range(5):
+        state2, metrics, _, _ = step(state2, l_img, l_target, ul_img)
+        sup.append(float(metrics["sup_loss_1"]))
+    assert min(sup[1:]) < sup[0]
+
+
+def test_codebook_frozen_through_training(cps_setup):
+    model, state, step, (l_img, l_target, ul_img) = cps_setup
+    state = _fresh(state)
+    cb_before = np.asarray(jax.tree_util.tree_leaves(state.variables_1["codebook"])[0])
+    state2, *_ = step(state, l_img, l_target, ul_img)
+    cb_after = np.asarray(jax.tree_util.tree_leaves(state2.variables_1["codebook"])[0])
+    # reference parity: euclidean codebook receives no gradient/EMA update
+    # (SURVEY.md §2.1 critical behavioural facts)
+    assert np.array_equal(cb_before, cb_after)

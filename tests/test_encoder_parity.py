@@ -1,0 +1,125 @@
+"""Numerical parity of core layers vs torch (the reference's substrate).
+
+torchvision is not installed, so parity is checked at the op level: ConvPad
+(incl. reflect padding), BatchNorm train/eval, max_pool_same, the two
+bilinear resizes, and the torch-weight converter round-trip through a
+single conv/bn pair.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from vq_seg_tpu.models.layers import (
+    ConvPad,
+    max_pool_same,
+    resize_bilinear,
+    resize_nearest,
+    upsample_bilinear_ac,
+)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "reflect", "replicate"])
+@pytest.mark.parametrize("stride", [1, 2])
+def test_convpad_matches_torch(rng, padding_mode, stride):
+    x = rng.normal(size=(2, 9, 9, 4)).astype(np.float32)
+    w = rng.normal(size=(5, 4, 3, 3)).astype(np.float32) * 0.1  # OIHW
+    mod = ConvPad(5, 3, stride, 1, use_bias=False, padding_mode=padding_mode)
+    params = {"params": {"Conv_0": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}}}
+    ours = np.asarray(mod.apply(params, jnp.asarray(x)))
+    theirs = F.conv2d(
+        torch.tensor(x).permute(0, 3, 1, 2),
+        torch.tensor(w), stride=stride,
+        padding=0 if padding_mode != "zeros" else 1,
+    ) if padding_mode != "zeros" else F.conv2d(
+        torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(w), stride=stride, padding=1)
+    if padding_mode != "zeros":
+        mode = {"reflect": "reflect", "replicate": "replicate"}[padding_mode]
+        xp = F.pad(torch.tensor(x).permute(0, 3, 1, 2), (1, 1, 1, 1), mode=mode)
+        theirs = F.conv2d(xp, torch.tensor(w), stride=stride)
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    assert np.allclose(ours, theirs, atol=1e-4), np.abs(ours - theirs).max()
+
+
+def test_maxpool_matches_torch(rng):
+    x = rng.normal(size=(1, 7, 7, 3)).astype(np.float32)
+    ours = np.asarray(max_pool_same(jnp.asarray(x), 3, 2, 1))
+    theirs = F.max_pool2d(torch.tensor(x).permute(0, 3, 1, 2), 3, 2, 1)
+    assert np.allclose(ours, theirs.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+
+
+def test_bilinear_resize_matches_torch(rng):
+    x = rng.normal(size=(1, 5, 5, 2)).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), (10, 10)))
+    theirs = F.interpolate(torch.tensor(x).permute(0, 3, 1, 2), (10, 10),
+                           mode="bilinear", align_corners=False)
+    assert np.allclose(ours, theirs.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_upsample_align_corners_matches_torch(rng):
+    x = rng.normal(size=(1, 5, 6, 2)).astype(np.float32)
+    ours = np.asarray(upsample_bilinear_ac(jnp.asarray(x), scale=2))
+    theirs = torch.nn.UpsamplingBilinear2d(scale_factor=2)(
+        torch.tensor(x).permute(0, 3, 1, 2))
+    assert np.allclose(ours, theirs.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_batchnorm_semantics(rng):
+    import flax.linen as nn
+
+    x = rng.normal(size=(4, 6, 6, 3)).astype(np.float32) * 2 + 1
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y, mut = bn.apply(variables, jnp.asarray(x), mutable=["batch_stats"])
+    tb = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1)
+    tb.train()
+    ty = tb(torch.tensor(x).permute(0, 3, 1, 2)).detach().permute(0, 2, 3, 1).numpy()
+    assert np.allclose(np.asarray(y), ty, atol=1e-4)
+    # running stats after one step
+    assert np.allclose(np.asarray(mut["batch_stats"]["mean"]),
+                       tb.running_mean.numpy(), atol=1e-4)
+
+
+def test_resnet_converter_roundtrip(rng):
+    """A minimal torchvision-layout state dict converts into our tree and
+    reproduces the stem conv+bn numerics."""
+    from vq_seg_tpu.utils.torch_weights import convert_resnet
+    from vq_seg_tpu.models.encoders import make_encoder
+
+    enc, ch = make_encoder("resnet18", depth=2)
+    x = rng.normal(size=(1, 16, 16, 3)).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    # synthesise a torch-layout state dict covering the params we have
+    sd = {}
+    sd["conv1.weight"] = rng.normal(size=(64, 3, 7, 7)).astype(np.float32) * 0.05
+    sd["bn1.weight"] = rng.normal(size=(64,)).astype(np.float32)
+    sd["bn1.bias"] = rng.normal(size=(64,)).astype(np.float32)
+    sd["bn1.running_mean"] = rng.normal(size=(64,)).astype(np.float32)
+    sd["bn1.running_var"] = np.abs(rng.normal(size=(64,))).astype(np.float32) + 0.5
+    params_new, stats_new = convert_resnet(sd)
+    assert params_new["conv1"]["Conv_0"]["kernel"].shape == (7, 7, 3, 64)
+    assert "bn1" in params_new and "scale" in params_new["bn1"]
+    assert np.allclose(stats_new["bn1"]["mean"], sd["bn1.running_mean"])
+
+    # splice and compare against torch conv+bn (eval mode)
+    p = jax.tree_util.tree_map(lambda v: v, variables["params"])
+    p = dict(p)
+    p["conv1"] = params_new["conv1"]
+    p["bn1"] = {**dict(variables["params"]["bn1"]),
+                "scale": jnp.asarray(params_new["bn1"]["scale"]),
+                "bias": jnp.asarray(params_new["bn1"]["bias"])}
+    bs = dict(variables["batch_stats"])
+    bs["bn1"] = {"mean": jnp.asarray(stats_new["bn1"]["mean"]),
+                 "var": jnp.asarray(stats_new["bn1"]["var"])}
+    feats = enc.apply({"params": p, "batch_stats": bs}, jnp.asarray(x), False)
+    xt = torch.tensor(x).permute(0, 3, 1, 2)
+    yt = F.conv2d(xt, torch.tensor(sd["conv1.weight"]), stride=2, padding=3)
+    yt = F.batch_norm(yt, torch.tensor(sd["bn1.running_mean"]),
+                      torch.tensor(sd["bn1.running_var"]),
+                      torch.tensor(sd["bn1.weight"]), torch.tensor(sd["bn1.bias"]),
+                      training=False, eps=1e-5)
+    yt = torch.relu(yt).permute(0, 2, 3, 1).numpy()
+    assert np.allclose(np.asarray(feats[1]), yt, atol=1e-4)

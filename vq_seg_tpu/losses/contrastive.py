@@ -19,7 +19,12 @@ def supcon_loss(x, label, temperature: float = 0.04):
     f2 = x[1].reshape(-1, c)
     g1 = label[0].reshape(-1)
     g2 = label[1].reshape(-1)
-    sim = jnp.exp((f1 @ f2.T) / temperature)  # (HW, HW)
+    logits = (f1 @ f2.T) / temperature  # (HW, HW)
+    # max-subtraction cancels in the ratio below — pure overflow guard
+    # (the reference exponentiates raw logits, contrastive_loss.py:26, which
+    # overflows for unbounded features)
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits))
+    sim = jnp.exp(logits)
     pos = (g1[:, None] == g2[None, :])
     hw = h * w
     return -jnp.log(jnp.sum(sim * pos) / jnp.sum(sim)) / (hw * hw)

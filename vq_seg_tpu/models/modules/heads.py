@@ -54,9 +54,9 @@ class _HeadProtoMixin(_ProtoBase):
 
     def _embedding(self):
         k, ed = self.num_classes, self._edim()
-        if self.init == "uniform":
+        if self.pt_init == "uniform":
             ini = lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -1.0 / k, 1.0 / k)
-        elif self.init in ("normal", "kmeans", "class_means"):
+        elif self.pt_init in ("normal", "kmeans", "class_means"):
             ini = nn.initializers.normal(stddev=1.0)
         else:
             raise ValueError("init has to be in [uniform, normal, kmeans, class_means]")

@@ -102,14 +102,16 @@ class _ProtoBase(nn.Module):
 
     num_classes: int = 3
     embedding_dim: int = 0
-    init: str = "kmeans"
+    # NB the reference ctor calls this arg ``init``; that name would shadow
+    # flax Module.init, hence pt_init.
+    pt_init: str = "kmeans"
     use_feature: bool = False
 
     def _embedding(self):
         k, ed = self.num_classes, self.embedding_dim
-        if self.init == "uniform":
+        if self.pt_init == "uniform":
             ini = lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -1.0 / k, 1.0 / k)
-        elif self.init in ("normal", "kmeans", "class_means"):
+        elif self.pt_init in ("normal", "kmeans", "class_means"):
             ini = nn.initializers.normal(stddev=1.0)  # torch nn.Embedding default
         else:
             raise ValueError("init has to be in [uniform, normal, kmeans, class_means]")
@@ -118,9 +120,9 @@ class _ProtoBase(nn.Module):
     def _maybe_init(self, w, flat_x, flat_gt=None):
         """Explicit data-dependent init (the reference's lazy first-forward
         ``_kmeans_init``, prototype.py:876-888)."""
-        if self.init == "kmeans":
+        if self.pt_init == "kmeans":
             means, _ = kmeans(self.make_rng("kmeans"), flat_x, self.num_classes, 10)
-        elif self.init == "class_means":
+        elif self.pt_init == "class_means":
             means = class_mean_features(flat_x, flat_gt, self.num_classes)
         else:
             return w
@@ -200,7 +202,7 @@ class NEDPrototypeLoss(_ProtoBase):
     """Negative softmax-over-distance at the gt class
     (reference prototype.py:300-383)."""
 
-    init: str = "class_means"
+    pt_init: str = "class_means"
     temperature: float = 0.04
 
     @nn.compact
@@ -347,14 +349,14 @@ class OnlyCWPrototypeLoss(_ProtoBase):
 
     def _embedding(self):
         k, ed = self._k, self.embedding_dim
-        if self.init == "uniform":
+        if self.pt_init == "uniform":
             ini = lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -1.0 / k, 1.0 / k)
         else:
             ini = nn.initializers.normal(stddev=1.0)
         return self.param("embedding", ini, (k, ed))
 
     def _maybe_init(self, w, flat_x, flat_gt=None):
-        if self.init != "kmeans":
+        if self.pt_init != "kmeans":
             return w
         means, _ = kmeans(self.make_rng("kmeans"), flat_x, self._k, 10)
         if self.is_mutable_collection("params"):

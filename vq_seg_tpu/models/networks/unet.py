@@ -245,7 +245,7 @@ class VQRePTUnetAngular(nn.Module):
                           name="core")
         dec, commit, usage, dec_ch, _feats = core(x, train, init_codebook)
         head = AngularSegmentationHeadv2(
-            num_classes=self.num_classes, out_channels=dec_ch[-1], init=self.pt_init,
+            num_classes=self.num_classes, out_channels=dec_ch[-1], pt_init=self.pt_init,
             scale=self.scale, margin=self.margin, upsampling=self.upsampling,
             name="segmentation_head")
         entropy = None
@@ -288,7 +288,7 @@ class VQRePTUnetAngularv3(nn.Module):
                           name="core")
         dec, commit, usage, dec_ch, _feats = core(x, train, init_codebook)
         head = AngularSegmentationHeadv3(
-            num_classes=self.num_classes, out_channels=dec_ch[-1], init=self.pt_init,
+            num_classes=self.num_classes, out_channels=dec_ch[-1], pt_init=self.pt_init,
             scale=self.scale, margin=self.margin, upsampling=self.upsampling,
             name="segmentation_head")
         out, aloss = head(dec, pred, split, th, train=train, init_protos=init_protos)

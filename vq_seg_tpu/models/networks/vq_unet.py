@@ -273,7 +273,7 @@ class _PTNet(nn.Module):
 
     def _proto(self, dec_ch):
         kw = dict(num_classes=self.num_classes, embedding_dim=dec_ch[-1],
-                  init=self.pt_init, use_feature=self.use_feature, name="prototype_loss")
+                  pt_init=self.pt_init, use_feature=self.use_feature, name="prototype_loss")
         if self.proto_kind == "prototype":
             return PrototypeLoss(margin=self.margin, scale=self.scale, **kw)
         if self.proto_kind == "reliable":
@@ -284,7 +284,7 @@ class _PTNet(nn.Module):
             return StableTemperaturedPrototypeLoss(**kw)
         if self.proto_kind == "reliable_euclidean":
             return ReliableEuclideanPrototypeLoss(**{k: v for k, v in kw.items() if k != "init"},
-                                                  init=self.pt_init)
+                                                  pt_init=self.pt_init)
         if self.proto_kind == "ned":
             return NEDPrototypeLoss(**kw)
         if self.proto_kind == "only_cw":

@@ -52,13 +52,13 @@ class VQVAEDecoder(nn.Module):
         y = nn.relu(y)
         if self.stride == 4:
             y = nn.ConvTranspose(self.hidden_channels // 2, (4, 4), strides=(2, 2),
-                                 padding=((1, 1), (1, 1)))(y)
+                                 padding="SAME")(y)
             y = nn.relu(y)
             y = nn.ConvTranspose(self.out_channels, (4, 4), strides=(2, 2),
-                                 padding=((1, 1), (1, 1)))(y)
+                                 padding="SAME")(y)
         elif self.stride == 2:
             y = nn.ConvTranspose(self.out_channels, (4, 4), strides=(2, 2),
-                                 padding=((1, 1), (1, 1)))(y)
+                                 padding="SAME")(y)
         return y
 
 

@@ -71,8 +71,8 @@ def vq_assign(x: jnp.ndarray, codebook: jnp.ndarray, metric: str = "euclidean"):
             from vq_seg_tpu.ops.vq_pallas import vq_assign_pallas
 
             return vq_assign_pallas(x, codebook, metric=metric)
-        except Exception:
-            pass  # fall back to XLA (e.g. unsupported shape)
+        except ValueError:
+            pass  # unsupported shape (lane alignment / small K) -> XLA path
     return vq_assign_xla(x, codebook, metric=metric)
 
 

@@ -1,0 +1,62 @@
+"""Device mesh + sharding policy — the framework's scaling layer.
+
+The reference is single-GPU (utils/device.py:4-10 picks cuda:N; no
+torch.distributed anywhere — SURVEY.md §2.9).  The TPU-native equivalent is
+GSPMD: one ``jax.sharding.Mesh`` with a ``data`` axis over ICI, parameters
+replicated, batches sharded on axis 0.  ``jit``-ing the train step with
+these shardings makes XLA insert the gradient all-reduce (psum) over ICI —
+no NCCL/MPI analogue exists or is needed.
+
+A ``model`` axis is declared (size 1 by default) so channel-sharded tensor
+parallelism can be enabled later without re-plumbing: conv kernels would
+shard their output-channel dim over it.
+
+BatchNorm note: with batch sharding, per-device batch statistics are local
+(the reference's single-device BN sees the whole batch).  For the flagship's
+batch size 4 this matches reference behaviour at 1 device and becomes
+per-replica BN at N — the standard data-parallel BN trade-off; sync-BN via
+``jax.lax.pmean`` inside the model is a documented extension point.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh with ("data", "model") axes; defaults to all devices on data."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 over the data axis (inputs, labels)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (params, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_fn(mesh: Mesh):
+    """Returns a device_put-ing callable for Loader(device_put=...) that lays
+    host batches out over the data axis (H2D overlaps compute under jit)."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sh)
+
+    return put
+
+
+def pad_to_devices(batch_size: int, n_devices: int) -> int:
+    """Smallest multiple of n_devices >= batch_size."""
+    return -(-batch_size // n_devices) * n_devices

@@ -1,0 +1,330 @@
+"""Cross-Pseudo-Supervision trainer — the flagship training loop
+(reference train_vqreptunet1x1v2.py:48-274, call stack SURVEY.md §3.1).
+
+TPU-first redesign:
+  * the reference's 6 forwards + 1 backward + 2 optimizer steps per
+    iteration are ONE jitted, donated function (``make_cps_train_step``):
+    the two eval-mode pseudo passes, the four train-mode passes, the CPS /
+    sup / commitment / prototype losses, one grad over both models' params,
+    two Adam updates, and the on-device mIoU metric all fuse into a single
+    XLA program — no per-step host sync (the reference synced every step
+    for numpy metrics, train_…v2.py:205).
+  * the lazy k-means codebook/prototype init becomes the explicit
+    ``cps_init_phase`` run once on the first labeled batch (the reference
+    initialised during forward #3 of step 0).
+  * LR schedule: optax.adam(schedule) reproduces the reference's per-step
+    ``optimizer.param_groups[0]['lr'] = sched.get_lr(step)`` poke.
+  * AMP: instead of GradScaler (unneeded on TPU), ``half=True`` lowers
+    matmul/conv precision to bf16 via jax.default_matmul_precision.
+  * data parallel: pass a Mesh — batches shard over the ``data`` axis and
+    XLA inserts the gradient all-reduce (see parallel/mesh.py).
+
+Gradient-flow parity notes: pseudo score maps are stop_gradient'ed (the
+reference computes them under no_grad, :143-149); CPS targets are argmax
+pseudo-labels with low-confidence pixels set to 255/ignore (:43-46,
+:165-177); model_1's loss touches model_2 only through those detached
+labels.  BN: pseudo passes use running stats (eval mode mid-step,
+:143-149); the sup pass then the unsup pass update batch stats in order.
+"""
+from __future__ import annotations
+
+import os
+import time
+from contextlib import nullcontext
+from functools import partial
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vq_seg_tpu.losses import cross_entropy_loss, make_loss
+from vq_seg_tpu.metrics.measurement import confusion_matrix, miou
+from vq_seg_tpu.models.networks import make_model
+from vq_seg_tpu.training.schedules import make_lr_schedule
+from vq_seg_tpu.utils.seg_tools import img_to_label
+
+
+@flax.struct.dataclass
+class CPSTrainState:
+    variables_1: Any
+    variables_2: Any
+    opt_state_1: Any
+    opt_state_2: Any
+    step: jnp.ndarray
+
+
+def _split(variables):
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    return variables["params"], rest
+
+
+def create_cps_state(model, tx, sample_args, rngs_seed: int = 0):
+    """Init two decorrelated models (the reference re-initialises the two
+    decoders/heads with different RNG draws, train_…v2.py:74-80; here the
+    entire trees use independent seeds) and their Adam states."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(rngs_seed))
+    v1 = model.init({"params": k1, "dropout": k1}, *sample_args, train=True)
+    v2 = model.init({"params": k2, "dropout": k2}, *sample_args, train=True)
+    return CPSTrainState(
+        variables_1=v1, variables_2=v2,
+        opt_state_1=tx.init(v1["params"]), opt_state_2=tx.init(v2["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def cps_init_phase(model, state: CPSTrainState, l_img, l_target, th, seed: int = 0):
+    """One-time data-dependent init: k-means codebooks + prototypes on the
+    first labeled batch (reference vq_img.py:165-166, prototype.py:829-830)."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), 2)
+    new_vars = []
+    for v, key in zip((state.variables_1, state.variables_2), keys):
+        _, mut = model.apply(
+            v, l_img, l_target, th, train=True, init_codebook=True, init_protos=True,
+            mutable=["params", "batch_stats", "codebook"],
+            rngs={"kmeans": key, "dropout": key},
+        )
+        new_vars.append({**v, **mut})
+    return state.replace(variables_1=new_vars[0], variables_2=new_vars[1])
+
+
+def make_cps_train_step(model, tx, dice_loss, *, num_classes: int,
+                        confidence_threshold: float = 0.7,
+                        cps_loss_weight: float = 1.0,
+                        commitment_loss_weight: float = 1.0,
+                        prototype_loss_weight: float = 0.01,
+                        ce_weight=None,
+                        remat: bool = True,
+                        model_kwargs_key: str = "th"):
+    """Build the fused CPS train step.  ``model_kwargs_key`` selects the
+    flagship forward signature (gt, th) vs the percent-based variants.
+
+    ``remat`` checkpoints each train-mode forward: without it the four
+    training passes' activations coexist in HBM and a 512^2 batch-4 step
+    exceeds a v5e's 16 GB (measured); with it the backward recomputes each
+    forward — the TPU-idiomatic memory/FLOPs trade (jax.checkpoint)."""
+
+    th = confidence_threshold
+
+    def _apply_train(variables, *args):
+        return model.apply(variables, *args, train=True, mutable=["batch_stats"])
+
+    if remat:
+        _apply_train = jax.checkpoint(_apply_train)
+
+    def forward_train(variables, *args):
+        out, mut = _apply_train(variables, *args)
+        return out, {**variables, "batch_stats": mut["batch_stats"]}
+
+    def loss_fn(p1, p2, state, l_img, l_target, ul_img):
+        v1 = {**state.variables_1, "params": p1}
+        v2 = {**state.variables_2, "params": p2}
+
+        # pseudo pass: eval mode, no grad (train_…v2.py:143-149)
+        pseudo_1_score = jax.lax.stop_gradient(model.apply(v1, ul_img, train=False)[0])
+        pseudo_2_score = jax.lax.stop_gradient(model.apply(v2, ul_img, train=False)[0])
+
+        # supervised passes (forwards #3, #4)
+        (pred_sup_1, c_l1, u_l1, pl_l1), v1 = forward_train(v1, l_img, l_target, th)
+        (pred_sup_2, c_l2, u_l2, pl_l2), v2 = forward_train(v2, l_img, l_target, th)
+        # unsupervised passes with the OTHER model's score map (#5, #6)
+        (pred_ul_1, c_ul1, u_ul1, pl_ul1), v1 = forward_train(v1, ul_img, pseudo_2_score, th)
+        (pred_ul_2, c_ul2, u_ul2, pl_ul2), v2 = forward_train(v2, ul_img, pseudo_1_score, th)
+
+        pred_1 = jnp.concatenate([pred_sup_1, pred_ul_1], axis=0)
+        pred_2 = jnp.concatenate([pred_sup_2, pred_ul_2], axis=0)
+        pseudo_1 = jnp.argmax(pred_1, axis=-1)
+        pseudo_2 = jnp.argmax(pred_2, axis=-1)
+
+        def score_mask(pred, pseudo):
+            # trainer-local confidence filter (train_…v2.py:43-46)
+            pmax = jnp.max(jax.nn.softmax(pred, axis=-1), axis=-1)
+            return jnp.where(pmax > th, pseudo, 255)
+
+        filt_1 = jax.lax.stop_gradient(score_mask(pred_1, pseudo_1))
+        filt_2 = jax.lax.stop_gradient(score_mask(pred_2, pseudo_2))
+
+        ce = partial(cross_entropy_loss, ignore_index=255, weight=ce_weight)
+        cps_loss = (0.5 * ce(pred_1, filt_2) + 0.5 * ce(pred_2, filt_1)
+                    + dice_loss(pred_1, filt_2) + dice_loss(pred_2, filt_1))
+        sup_loss_1 = 0.5 * ce(pred_sup_1, l_target) + dice_loss(pred_sup_1, l_target)
+        sup_loss_2 = 0.5 * ce(pred_sup_2, l_target) + dice_loss(pred_sup_2, l_target)
+        commitment = (c_l1 + c_l2 + c_ul1 + c_ul2) * commitment_loss_weight
+        prototype = (pl_l1 + pl_l2 + pl_ul1 + pl_ul2) * prototype_loss_weight
+        loss = sup_loss_1 + sup_loss_2 + cps_loss_weight * cps_loss + commitment + prototype
+
+        code_usage = (u_l1 + u_l2 + u_ul1 + u_ul2) / 4.0
+        conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
+        step_miou, iou_list = miou(conf)
+        aux = dict(
+            batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
+            metrics=dict(loss=loss, cps_loss=cps_loss, sup_loss_1=sup_loss_1,
+                         sup_loss_2=sup_loss_2, commitment_loss=commitment,
+                         prototype_loss=prototype, miou=step_miou,
+                         iou_list=iou_list, code_usage=code_usage),
+            pred_sup_1=pred_sup_1, pred_ul_1=pred_ul_1,
+        )
+        return loss, aux
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: CPSTrainState, l_img, l_target, ul_img):
+        (p1, _), (p2, _) = _split(state.variables_1), _split(state.variables_2)
+        grads_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (g1, g2), aux = grads_fn(p1, p2, state, l_img, l_target, ul_img)
+        up1, os1 = tx.update(g1, state.opt_state_1, p1)
+        up2, os2 = tx.update(g2, state.opt_state_2, p2)
+        new_state = state.replace(
+            variables_1={**state.variables_1, "params": optax.apply_updates(p1, up1),
+                         "batch_stats": aux["batch_stats_1"]},
+            variables_2={**state.variables_2, "params": optax.apply_updates(p2, up2),
+                         "batch_stats": aux["batch_stats_2"]},
+            opt_state_1=os1, opt_state_2=os2, step=state.step + 1,
+        )
+        return new_state, aux["metrics"], aux["pred_sup_1"], aux["pred_ul_1"]
+
+    return train_step
+
+
+def make_eval_fn(model, num_classes: int):
+    """Per-batch eval forward + confusion matrix (the in-training ``test``
+    probe, train_…v2.py:28-41)."""
+
+    @jax.jit
+    def eval_step(variables, img):
+        pred = model.apply(variables, img, train=False)[0]
+        return pred
+
+    return eval_step
+
+
+def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
+    """Flagship CPS driver mirroring reference train() (train_…v2.py:48-274).
+
+    Returns the final state (also checkpointed per the reference layout).
+    """
+    from itertools import cycle
+
+    from vq_seg_tpu.data import BaseDataset, Loader
+    from vq_seg_tpu.utils import visualize
+    from vq_seg_tpu.utils.ckpoints import save_ckpoints, save_tar
+    from vq_seg_tpu.utils.logger import Logger, list_to_separate_log
+    from vq_seg_tpu.utils.seed import seed_everything
+
+    seed_everything()
+    num_classes = cfg.num_classes
+    batch_size = cfg.train.batch_size
+    num_epochs = cfg.train.num_epochs
+    half = cfg.train.get("half", False)
+
+    logger = None
+    save_dir = ckpoints_dir = img_dir = None
+    log_txt = None
+    if cfg.wandb_logging:
+        os.makedirs(cfg.train.save_dir, exist_ok=True)
+        logger_name = cfg.project_name + "_hybrid_" + str(len(os.listdir(cfg.train.save_dir)))
+        save_dir = os.path.join(cfg.train.save_dir, logger_name)
+        os.makedirs(save_dir)
+        ckpoints_dir = os.path.join(save_dir, "ckpoints")
+        os.mkdir(ckpoints_dir)
+        if cfg.train.save_img:
+            img_dir = os.path.join(save_dir, "imgs")
+            os.mkdir(img_dir)
+        log_txt = open(os.path.join(save_dir, "log_txt"), "w")
+        logger = Logger(cfg, logger_name, offline_dir=save_dir)
+
+    model = make_model(cfg.model)
+
+    sup_dataset = BaseDataset(os.path.join(cfg.train.data_dir, "train"), "labelled",
+                              batch_size=batch_size, resize=cfg.resize)
+    unsup_dataset = BaseDataset(os.path.join(cfg.train.data_dir, "train"), "unlabelled",
+                                batch_size=batch_size, resize=cfg.resize)
+    device_put = None
+    if mesh is not None:
+        from vq_seg_tpu.parallel import shard_batch_fn
+
+        device_put = shard_batch_fn(mesh)
+    sup_loader = Loader(sup_dataset, batch_size, shuffle=True, seed=0, device_put=device_put)
+    unsup_loader = Loader(unsup_dataset, batch_size, shuffle=True, seed=1, device_put=device_put)
+    steps_per_epoch = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    dice = make_loss(cfg.train.criterion.name, num_classes, ignore_index=255,
+                     weight=cfg.train.criterion.get("weight"))
+    th = cfg.train.confidence_threshold
+
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample_x = jnp.zeros((batch_size, resize, resize, 3))
+    sample_gt = jnp.zeros((batch_size, resize, resize), jnp.int32)
+    state = create_cps_state(model, tx, (sample_x, sample_gt, th))
+
+    train_step = make_cps_train_step(
+        model, tx, dice, num_classes=num_classes, confidence_threshold=th,
+        cps_loss_weight=cfg.train.cps_loss_weight,
+        commitment_loss_weight=cfg.train.total_commitment_loss_weight,
+        prototype_loss_weight=cfg.train.total_prototype_loss_weight,
+    )
+
+    prec_ctx = (jax.default_matmul_precision("bfloat16") if half else nullcontext())
+    initted = False
+    with prec_ctx:
+        for epoch in range(num_epochs):
+            trainloader = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+            sums: dict = {}
+            ep_start = time.time()
+            for batch_idx in range(steps_per_epoch):
+                sup_dict, unsup_dict = next(trainloader)
+                l_input = jnp.asarray(sup_dict["img"])
+                l_target = img_to_label(jnp.asarray(sup_dict["target"]), cfg.pixel_to_label)
+                ul_input = jnp.asarray(unsup_dict["img"])
+                if not initted:
+                    state = cps_init_phase(model, state, l_input, l_target, th)
+                    initted = True
+                state, metrics, pred_sup_1, pred_ul_1 = train_step(
+                    state, l_input, l_target, ul_input)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0) + np.asarray(v)
+            # end epoch
+            avg = {k: v / steps_per_epoch for k, v in sums.items()}
+            iou = avg.pop("iou_list")
+            back_iou, weed_iou, crop_iou = [float(x) for x in iou[:3]]
+            code_usage = [float(x) for x in np.atleast_1d(avg.pop("code_usage"))]
+            lr = float(schedule(int(state.step) - 1))
+            print_txt = (f"[Epoch{epoch}] miou={avg['miou']:.4f}, "
+                         f"sup_loss_1={avg['sup_loss_1']:.4f}, "
+                         f"prototype_loss={avg['prototype_loss']:.4f}, "
+                         f"cps_loss={avg['cps_loss']:.4f}, "
+                         f"commitment_loss={avg['commitment_loss']:.4f}, "
+                         f"{time.time() - ep_start:.1f}s")
+            print(print_txt)
+            if logger is not None:
+                log_txt.write(print_txt + "\n")
+                example = visualize.make_example_img(
+                    np.asarray(l_input), np.asarray(l_target), np.asarray(pred_sup_1),
+                    np.asarray(ul_input), np.asarray(pred_ul_1))
+                logger.image_update(example, f"{epoch}ep")
+                if cfg.train.save_img:
+                    visualize.save_img(img_dir, f"output_{epoch}ep.png", example)
+                if epoch % 10 == 0:
+                    save_ckpoints(state.variables_1, state.variables_2, epoch, batch_idx,
+                                  state.opt_state_1, state.opt_state_2,
+                                  os.path.join(ckpoints_dir, f"{epoch}ep.ckpt"))
+                save_ckpoints(state.variables_1, state.variables_2, epoch, batch_idx,
+                              state.opt_state_1, state.opt_state_2,
+                              os.path.join(ckpoints_dir, "last.ckpt"))
+                logger.log_dict.update({k: float(v) for k, v in avg.items()})
+                logger.log_dict.update(dict(back_iou=back_iou, weed_iou=weed_iou,
+                                            crop_iou=crop_iou, learning_rate=lr))
+                logger.temp_update(list_to_separate_log(code_usage, "code_usage"))
+                logger.logging(epoch=epoch)
+                logger.config_update()
+    if logger is not None:
+        log_txt.close()
+        logger.finish()
+    if cfg.wandb_logging and cfg.train.get("save_as_tar", False):
+        save_tar(save_dir)
+    return state

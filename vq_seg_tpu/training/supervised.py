@@ -1,0 +1,187 @@
+"""Supervised trainer (reference deprecated/train_sup.py /
+only_supervised_train.py — the capability-envelope supervised path,
+SURVEY.md §2.8).
+
+Loss: dice + 0.5*CE + commitment + prototype (train_sup.py:136-137), with
+the entropy-percentile drop schedule ``drop_percent = 100 - drop*(1 -
+epoch/num_epochs)`` (:129-131) for percent-based prototype nets.  One jitted
+step; works for any registry net returning (out, commit, usage[, proto]) or
+bare logits (plain ``unet``).
+"""
+from __future__ import annotations
+
+import os
+import time
+from contextlib import nullcontext
+from functools import partial
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vq_seg_tpu.losses import cross_entropy_loss, make_loss
+from vq_seg_tpu.metrics.measurement import confusion_matrix, miou
+from vq_seg_tpu.models.networks import make_model
+from vq_seg_tpu.training.schedules import make_lr_schedule
+from vq_seg_tpu.utils.seg_tools import img_to_label
+
+
+@flax.struct.dataclass
+class TrainState:
+    variables: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_state(model, tx, sample_args, seed: int = 0):
+    key = jax.random.PRNGKey(seed)
+    variables = model.init({"params": key, "dropout": key}, *sample_args, train=True)
+    return TrainState(variables=variables, opt_state=tx.init(variables["params"]),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def init_phase(model, state: TrainState, args, seed: int = 0):
+    key = jax.random.PRNGKey(seed)
+    _, mut = model.apply(state.variables, *args, train=True, init_codebook=True,
+                         init_protos=True,
+                         mutable=["params", "batch_stats", "codebook"],
+                         rngs={"kmeans": key, "dropout": key})
+    return state.replace(variables={**state.variables, **mut})
+
+
+def make_sup_train_step(model, tx, dice_loss, *, num_classes: int,
+                        ce_weight=None, model_arg: str = "percent"):
+    """model_arg: extra forward arg after (x, gt) — "percent" (reliable
+    nets), "th" (v2), or None (plain nets)."""
+
+    def loss_fn(params, state, img, target, extra):
+        variables = {**state.variables, "params": params}
+        args = (img, target) if extra is None else (img, target, extra)
+        try:
+            out, mut = model.apply(variables, *args, train=True, mutable=["batch_stats"])
+        except TypeError:
+            out, mut = model.apply(variables, img, train=True, mutable=["batch_stats"])
+        if isinstance(out, tuple):
+            pred = out[0]
+            commit = out[1] if len(out) > 1 and out[1] is not None else jnp.float32(0.0)
+            proto = out[3] if len(out) > 3 and out[3] is not None else jnp.float32(0.0)
+            usage = out[2] if len(out) > 2 else jnp.zeros((0,))
+        else:
+            pred, commit, proto, usage = out, jnp.float32(0.0), jnp.float32(0.0), jnp.zeros((0,))
+        ce = partial(cross_entropy_loss, ignore_index=255, weight=ce_weight)
+        sup = dice_loss(pred, target) + 0.5 * ce(pred, target)
+        loss = sup + commit + proto
+        conf = confusion_matrix(pred, target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        aux = dict(batch_stats=mut["batch_stats"],
+                   metrics=dict(loss=loss, sup_loss=sup, commitment_loss=commit,
+                                prototype_loss=proto, miou=m, iou_list=iou_list,
+                                code_usage=jnp.mean(usage) if usage.size else jnp.float32(0.0)),
+                   pred=pred)
+        return loss, aux
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, img, target, extra):
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.variables["params"], state, img, target, extra)
+        updates, opt_state = tx.update(grads, state.opt_state, state.variables["params"])
+        new_params = optax.apply_updates(state.variables["params"], updates)
+        new_state = state.replace(
+            variables={**state.variables, "params": new_params,
+                       "batch_stats": aux["batch_stats"]},
+            opt_state=opt_state, step=state.step + 1)
+        return new_state, aux["metrics"], aux["pred"]
+
+    return train_step
+
+
+def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
+    """Supervised driver (train_sup.py flow)."""
+    from vq_seg_tpu.data import BaseDataset, Loader
+    from vq_seg_tpu.utils.ckpoints import _save_tree
+    from vq_seg_tpu.utils.logger import Logger
+    from vq_seg_tpu.utils.seed import seed_everything
+
+    seed_everything()
+    num_classes = cfg.num_classes
+    batch_size = cfg.train.batch_size
+    num_epochs = cfg.train.num_epochs
+    half = cfg.train.get("half", False)
+
+    model = make_model(cfg.model)
+    dataset = BaseDataset(os.path.join(cfg.train.data_dir, "train"), "labelled",
+                          batch_size=batch_size, resize=cfg.resize)
+    device_put = None
+    if mesh is not None:
+        from vq_seg_tpu.parallel import shard_batch_fn
+
+        device_put = shard_batch_fn(mesh)
+    loader = Loader(dataset, batch_size, shuffle=True, seed=0, device_put=device_put)
+    steps_per_epoch = len(loader)
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+
+    schedule = make_lr_schedule(cfg.train, len(loader))
+    tx = optax.adam(schedule)
+    dice = make_loss(cfg.train.criterion.name, num_classes, ignore_index=255,
+                     weight=cfg.train.criterion.get("weight"))
+
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample_x = jnp.zeros((batch_size, resize, resize, 3))
+    sample_gt = jnp.zeros((batch_size, resize, resize), jnp.int32)
+    name = cfg.model.name
+    needs_extra = name not in ("unet", "unetoriginal", "vqunet_v1", "vqunet_v2")
+    drop = cfg.train.get("unsup_loss_drop_percent", 80.0)
+    try:
+        state = create_state(model, tx, (sample_x, sample_gt, 100.0) if needs_extra
+                             else (sample_x,))
+    except TypeError:
+        needs_extra = False
+        state = create_state(model, tx, (sample_x,))
+
+    train_step = make_sup_train_step(model, tx, dice, num_classes=num_classes)
+    save_dir = None
+    logger = None
+    if cfg.wandb_logging:
+        os.makedirs(cfg.train.save_dir, exist_ok=True)
+        logger_name = cfg.project_name + "_sup_" + str(len(os.listdir(cfg.train.save_dir)))
+        save_dir = os.path.join(cfg.train.save_dir, logger_name)
+        os.makedirs(os.path.join(save_dir, "ckpoints"), exist_ok=True)
+        logger = Logger(cfg, logger_name, offline_dir=save_dir)
+
+    prec_ctx = (jax.default_matmul_precision("bfloat16") if half else nullcontext())
+    initted = False
+    with prec_ctx:
+        for epoch in range(num_epochs):
+            sums: dict = {}
+            t0 = time.time()
+            percent_unreliable = drop * (1 - epoch / num_epochs)
+            drop_percent = 100.0 - percent_unreliable
+            it = iter(loader)
+            for batch_idx in range(steps_per_epoch):
+                batch = next(it)
+                img = jnp.asarray(batch["img"])
+                target = img_to_label(jnp.asarray(batch["target"]), cfg.pixel_to_label)
+                if not initted:
+                    if needs_extra:
+                        state = init_phase(model, state, (img, target, drop_percent))
+                    else:
+                        state = init_phase(model, state, (img,))
+                    initted = True
+                extra = jnp.float32(drop_percent) if needs_extra else None
+                state, metrics, pred = train_step(state, img, target, extra)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0) + np.asarray(v)
+            avg = {k: v / steps_per_epoch for k, v in sums.items()}
+            avg.pop("iou_list", None)
+            print(f"[Epoch{epoch}] " + ", ".join(f"{k}={float(v):.4f}" for k, v in avg.items())
+                  + f", {time.time() - t0:.1f}s")
+            if logger is not None:
+                logger.log_dict.update({k: float(v) for k, v in avg.items()})
+                logger.logging(epoch=epoch)
+                _save_tree(os.path.join(save_dir, "ckpoints", "last.ckpt"),
+                           {"model_1": state.variables, "epoch": epoch})
+    return state

@@ -1,0 +1,144 @@
+"""Additional semi-supervised trainer variants from the reference's
+capability envelope (the ~50-script deprecated/ trainer zoo, SURVEY.md §2.8).
+
+  * ``make_plain_cps_train_step`` — plain Cross Pseudo Supervision
+    (deprecated/train_CPS.py:139-178): two models, CE on each other's argmax
+    pseudo-labels (no confidence filter, no dice, no VQ losses), one fused
+    jitted step.
+  * ``make_unimatch_train_step`` — UniMatch (deprecated/train_UNIMatch.py:
+    158-190): one model; a no-grad teacher pass on the raw unlabeled batch;
+    two CutMix-perturbed student views + one feature-perturbation (fp) view;
+    loss = (sup + 0.25 u1 + 0.25 u2 + 0.5 u_fp) / 2 with confidence
+    threshold 0.95 pseudo-labels.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vq_seg_tpu.data.augmentations import make_cutout_mask
+from vq_seg_tpu.losses import cross_entropy_loss
+from vq_seg_tpu.metrics.measurement import confusion_matrix, miou
+from vq_seg_tpu.training.cps import CPSTrainState, _split
+from vq_seg_tpu.training.supervised import TrainState
+
+
+def make_plain_cps_train_step(model, tx, *, num_classes: int,
+                              cps_loss_weight: float = 1.0, ce_weight=None):
+    """Plain CPS: cps = CE(p1, argmax p2) + CE(p2, argmax p1); sup = CE each."""
+
+    ce = partial(cross_entropy_loss, ignore_index=255, weight=ce_weight)
+
+    def fwd(variables, x):
+        out, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        logits = out[0] if isinstance(out, tuple) else out
+        return logits, {**variables, "batch_stats": mut["batch_stats"]}
+
+    def loss_fn(p1, p2, state, l_img, l_target, ul_img):
+        v1 = {**state.variables_1, "params": p1}
+        v2 = {**state.variables_2, "params": p2}
+        pred_sup_1, v1 = fwd(v1, l_img)
+        pred_sup_2, v2 = fwd(v2, l_img)
+        pred_ul_1, v1 = fwd(v1, ul_img)
+        pred_ul_2, v2 = fwd(v2, ul_img)
+        pred_1 = jnp.concatenate([pred_sup_1, pred_ul_1], 0)
+        pred_2 = jnp.concatenate([pred_sup_2, pred_ul_2], 0)
+        pseudo_1 = jax.lax.stop_gradient(jnp.argmax(pred_1, -1))
+        pseudo_2 = jax.lax.stop_gradient(jnp.argmax(pred_2, -1))
+        cps = ce(pred_1, pseudo_2) + ce(pred_2, pseudo_1)
+        sup_1 = ce(pred_sup_1, l_target)
+        sup_2 = ce(pred_sup_2, l_target)
+        loss = sup_1 + sup_2 + cps_loss_weight * cps
+        conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        return loss, dict(batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
+                          metrics=dict(loss=loss, cps_loss=cps, sup_loss_1=sup_1,
+                                       sup_loss_2=sup_2, miou=m, iou_list=iou_list))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: CPSTrainState, l_img, l_target, ul_img):
+        (p1, _), (p2, _) = _split(state.variables_1), _split(state.variables_2)
+        (g1, g2), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            p1, p2, state, l_img, l_target, ul_img)
+        u1, o1 = tx.update(g1, state.opt_state_1, p1)
+        u2, o2 = tx.update(g2, state.opt_state_2, p2)
+        return state.replace(
+            variables_1={**state.variables_1, "params": optax.apply_updates(p1, u1),
+                         "batch_stats": aux["batch_stats_1"]},
+            variables_2={**state.variables_2, "params": optax.apply_updates(p2, u2),
+                         "batch_stats": aux["batch_stats_2"]},
+            opt_state_1=o1, opt_state_2=o2, step=state.step + 1,
+        ), aux["metrics"]
+
+    return step
+
+
+def make_unimatch_train_step(model, tx, *, num_classes: int,
+                             confidence_threshold: float = 0.95,
+                             cutmix_ratio: float = 0.5, ce_weight=None):
+    """UniMatch step; model must be the ``unimatch`` registry net (accepts
+    need_fp).  Takes an rng key for the two CutMix draws and dropout."""
+
+    ce = partial(cross_entropy_loss, ignore_index=255, weight=ce_weight)
+    th = confidence_threshold
+
+    def pseudo_of(pred):
+        pmax = jnp.max(jax.nn.softmax(pred, -1), -1)
+        lbl = jnp.argmax(pred, -1)
+        return jax.lax.stop_gradient(jnp.where(pmax > th, lbl, 255))
+
+    def cutmix(key, img, pred):
+        mask = make_cutout_mask(key, img.shape[1:3], cutmix_ratio)
+        mf = mask.astype(img.dtype)[None, :, :, None]
+        img_m = img * mf + jnp.roll(img, -1, 0) * (1 - mf)
+        pred_m = pred * mf + jnp.roll(pred, -1, 0) * (1 - mf)
+        return img_m, pred_m
+
+    def loss_fn(params, state, l_img, l_target, ul_img, key):
+        variables = {**state.variables, "params": params}
+        # teacher pass (eval mode, detached)
+        pred_u = jax.lax.stop_gradient(
+            model.apply(variables, ul_img, train=False)[0])
+        k1, k2, kd = jax.random.split(key, 3)
+        mix_in_1, mix_pred_1 = cutmix(k1, ul_img, pred_u)
+        mix_in_2, mix_pred_2 = cutmix(k2, ul_img, pred_u)
+
+        def fwd(v, x, need_fp=False):
+            out, mut = model.apply(v, x, need_fp=need_fp, train=True,
+                                   mutable=["batch_stats"], rngs={"dropout": kd})
+            return out, {**v, "batch_stats": mut["batch_stats"]}
+
+        (pred_l, _), variables = fwd(variables, l_img)
+        (pred_ul_1, pred_ul_fp), variables = fwd(variables, ul_img, need_fp=True)
+        (pred_mix_1, _), variables = fwd(variables, mix_in_1)
+        (pred_mix_2, _), variables = fwd(variables, mix_in_2)
+
+        sup = ce(pred_l, l_target)
+        loss_u_1 = ce(pred_mix_1, pseudo_of(mix_pred_1))
+        loss_u_2 = ce(pred_mix_2, pseudo_of(mix_pred_2))
+        loss_u_fp = ce(pred_ul_fp, pseudo_of(pred_u))
+        loss = (sup + 0.25 * loss_u_1 + 0.25 * loss_u_2 + 0.5 * loss_u_fp) / 2
+        conf = confusion_matrix(pred_l, l_target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        return loss, dict(batch_stats=variables["batch_stats"],
+                          metrics=dict(loss=loss, sup_loss=sup, loss_u_1=loss_u_1,
+                                       loss_u_2=loss_u_2, loss_u_fp=loss_u_fp,
+                                       miou=m, iou_list=iou_list))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, l_img, l_target, ul_img, key):
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.variables["params"], state, l_img, l_target, ul_img, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.variables["params"])
+        return state.replace(
+            variables={**state.variables,
+                       "params": optax.apply_updates(state.variables["params"], updates),
+                       "batch_stats": aux["batch_stats"]},
+            opt_state=opt_state, step=state.step + 1,
+        ), aux["metrics"]
+
+    return step

@@ -1,0 +1,93 @@
+"""Checkpointing (reference utils/ckpoints.py:7-33), orbax-backed.
+
+Preserves the reference checkpoint *contract*:
+  * ``save_ckpoints`` writes ``{model_1, model_2, epoch, batch_idx,
+    optimizer_1, optimizer_2}`` to ``{save_dir}/ckpoints/{N}ep.ckpt`` and
+    ``last.ckpt``
+  * ``load_ckpoints(path, istrain)`` returns the train-resume tuple or just
+    model_1 for eval (ckpoints.py:15-21)
+  * ``save_vqvae`` stores encoder / codebook / decoder subtrees separately
+    for ``load_pretrained``-style reuse (ckpoints.py:23-26)
+  * ``save_tar`` gzips and removes the run dir (ckpoints.py:28-33)
+
+Each "model" entry is the full flax variable dict (params + batch_stats +
+codebook); optimizers are optax state pytrees.  Orbax writes directories,
+not single files — the ``.ckpt`` suffix is a directory name.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import tarfile
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _save_tree(path: str, tree: Any):
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, _to_host(tree))
+
+
+def _load_tree(path: str):
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
+def save_ckpoints(model_1, model_2, epoch, batch_idx, optimizer_1, optimizer_2,
+                  filepath: str):
+    _save_tree(filepath, {
+        "model_1": model_1,
+        "model_2": model_2,
+        "epoch": np.asarray(epoch),
+        "batch_idx": np.asarray(batch_idx),
+        "optimizer_1": optimizer_1,
+        "optimizer_2": optimizer_2,
+    })
+
+
+def load_ckpoints(weights_path: str, istrain: bool):
+    ck = _load_tree(weights_path)
+    if istrain:
+        return ck["model_2"], ck["epoch"], ck["batch_idx"], ck["optimizer_1"], ck["optimizer_2"]
+    return ck["model_1"]
+
+
+def load_full(weights_path: str):
+    return _load_tree(weights_path)
+
+
+def save_vqvae(variables, epoch, ckpoints_dir: str):
+    """Split a VQ-VAE's variables into encoder/codebook/decoder subtrees
+    (reference saves three .pth files; here three orbax dirs)."""
+    params = variables.get("params", {})
+    batch_stats = variables.get("batch_stats", {})
+
+    def subtree(name):
+        out = {}
+        if name in params:
+            out["params"] = params[name]
+        if name in batch_stats:
+            out["batch_stats"] = batch_stats[name]
+        return out
+
+    _save_tree(os.path.join(ckpoints_dir, f"{epoch}ep_encoder.ckpt"), subtree("encoder"))
+    codebooks = {k: v for k, v in variables.get("codebook", {}).items()}
+    _save_tree(os.path.join(ckpoints_dir, f"{epoch}ep_codebook.ckpt"), codebooks)
+    _save_tree(os.path.join(ckpoints_dir, f"{epoch}ep_decoder.ckpt"), subtree("decoder"))
+
+
+def save_tar(target_path: str):
+    head, name = os.path.split(target_path)
+    with tarfile.open(os.path.join(head, name + ".tar.gz"), "w:gz") as t:
+        t.add(target_path)
+    shutil.rmtree(target_path)

@@ -1,0 +1,140 @@
+"""Torch-checkpoint -> Flax parameter conversion.
+
+The reference loads torchvision/SWSL pretrained encoders from model_zoo URLs
+(models/encoders/__init__.py:24-29).  This environment has no egress, so the
+converter consumes a locally supplied ``.pth`` state dict (torch CPU is
+baked into the image) and rewrites it into the flax param/batch_stats trees
+produced by vq_seg_tpu.models.encoders — whose module names were chosen to
+mirror the torchvision layout 1:1 (resnet.py docstring).
+
+Usage:
+    params = model.init(...)
+    params = load_encoder_weights(params, "resnet50", "/path/swsl_resnet50.pth",
+                                  encoder_path=("core", "encoder"))
+"""
+from __future__ import annotations
+
+from typing import Mapping, Sequence, Tuple
+
+import numpy as np
+
+
+def _set(tree: dict, path: Sequence[str], value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_resnet(state_dict: Mapping[str, "np.ndarray"]):
+    """torchvision resnet state dict -> (params, batch_stats) flax subtrees.
+
+    Key mapping: ``layerL.B.convN.weight`` (O,I,kh,kw) -> transposed HWIO at
+    ``layerL/B/convN/Conv_0/kernel``; BN weight/bias -> scale/bias;
+    running stats -> batch_stats.  fc.* is dropped (the encoder deletes it,
+    reference resnet.py:128-129).
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+    for key, v in state_dict.items():
+        v = np.asarray(v)
+        parts = key.split(".")
+        if parts[0] == "fc":
+            continue
+        # normalise the downsample naming: downsample.0 -> downsample_0
+        norm = []
+        i = 0
+        while i < len(parts) - 1:
+            if parts[i] == "downsample":
+                norm.append(f"downsample_{parts[i + 1]}")
+                i += 2
+            else:
+                norm.append(parts[i])
+                i += 1
+        leaf = parts[-1]
+        is_bn = leaf in ("running_mean", "running_var", "num_batches_tracked") or (
+            norm and (norm[-1].startswith("bn") or norm[-1] == "downsample_1"))
+        if leaf == "num_batches_tracked":
+            continue
+        if is_bn:
+            if leaf == "weight":
+                _set(params, norm + ["scale"], v)
+            elif leaf == "bias":
+                _set(params, norm + ["bias"], v)
+            elif leaf == "running_mean":
+                _set(batch_stats, norm + ["mean"], v)
+            elif leaf == "running_var":
+                _set(batch_stats, norm + ["var"], v)
+        else:  # conv
+            if leaf == "weight":
+                _set(params, norm + ["Conv_0", "kernel"], v.transpose(2, 3, 1, 0))
+            elif leaf == "bias":
+                _set(params, norm + ["Conv_0", "bias"], v)
+    return params, batch_stats
+
+
+def convert_vgg(state_dict: Mapping[str, "np.ndarray"]):
+    """torchvision vgg state dict -> flax subtrees (features.N -> features_N)."""
+    params: dict = {}
+    batch_stats: dict = {}
+    for key, v in state_dict.items():
+        v = np.asarray(v)
+        parts = key.split(".")
+        if parts[0] == "classifier":
+            continue
+        name = f"features_{parts[1]}"
+        leaf = parts[-1]
+        if leaf in ("running_mean", "running_var"):
+            _set(batch_stats, [name, {"running_mean": "mean", "running_var": "var"}[leaf]], v)
+        elif leaf == "num_batches_tracked":
+            continue
+        elif v.ndim == 4:  # conv weight
+            _set(params, [name, "Conv_0", "kernel"], v.transpose(2, 3, 1, 0))
+        elif leaf == "weight":  # bn scale
+            _set(params, [name, "scale"], v)
+        else:  # bias (conv or bn — same leaf name either way)
+            node = params.get(name, {})
+            if "Conv_0" in node and "bias" not in node.get("Conv_0", {}):
+                _set(params, [name, "Conv_0", "bias"], v)
+            else:
+                _set(params, [name, "bias"], v)
+    return params, batch_stats
+
+
+def _deep_update(dst, src):
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+
+
+def load_encoder_weights(variables, encoder_name: str, pth_path: str,
+                         encoder_path: Tuple[str, ...] = ("core", "encoder")):
+    """Return a copy of ``variables`` with the encoder subtree replaced by
+    converted torch weights.  ``encoder_path`` locates the encoder inside
+    the network param tree (flagship nets nest it under core/encoder)."""
+    import torch
+
+    sd = torch.load(pth_path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: v.numpy() for k, v in sd.items()}
+    conv = convert_vgg if "features.0.weight" in sd else convert_resnet
+    params_new, stats_new = conv(sd)
+
+    import copy
+
+    variables = {k: copy.deepcopy(dict(v)) if isinstance(v, Mapping) else v
+                 for k, v in variables.items()}
+
+    def subtree(root):
+        node = root
+        for p in encoder_path:
+            node = node[p]
+        return node
+
+    _deep_update(subtree(variables["params"]), params_new)
+    if stats_new and "batch_stats" in variables:
+        _deep_update(subtree(variables["batch_stats"]), stats_new)
+    return variables
