@@ -96,3 +96,25 @@ def test_deeplabv3plus_forward():
     out, aux = m.apply(v, x, train=False)
     assert out.shape == (1, 32, 32, 3)
     assert aux is None
+
+
+def test_convnext_encoder_forward():
+    """ConvNeXt support (broken/config-only in the reference — SURVEY §2.2)."""
+    from vq_seg_tpu.models.encoders import make_encoder
+
+    enc, ch = make_encoder("convnext_tiny", depth=4)
+    assert ch == (3, 96, 192, 384, 768)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = enc.init({"params": jax.random.PRNGKey(0)}, x)
+    feats = enc.apply(v, x)
+    assert [f.shape[1] for f in feats] == [64, 16, 8, 4, 2]
+
+
+def test_convnext_unet():
+    m = make_model({"name": "unet", "params": {
+        "encoder_name": "convnext_tiny", "num_classes": 3, "depth": 4,
+        "upsampling": 4}})
+    x = jnp.zeros((1, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 32, 32, 3)  # stride-4 decoder end, x4 head

@@ -84,4 +84,13 @@ def make_encoder(name: str, in_channels: int = 3, depth: int = 5, weights: Optio
                          batch_norm=p["batch_norm"], depth=depth, in_channels=in_channels,
                          name=module_name)
         return enc, enc.encoder_channels()
+    if "convnext" in name:
+        from vq_seg_tpu.models.encoders.convnext import ConvNeXtEncoder, convnext_encoders
+
+        p = convnext_encoders[name]
+        # ConvNeXt has 4 resolution levels (strides 4/8/16/32) — clamp depth
+        enc = ConvNeXtEncoder(depths=p["depths"], dims=p["dims"],
+                              depth=min(depth, 4), in_channels=in_channels,
+                              name=module_name)
+        return enc, enc.encoder_channels()
     raise KeyError(f"unknown encoder: {name}")

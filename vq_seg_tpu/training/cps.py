@@ -96,26 +96,28 @@ def make_cps_train_step(model, tx, dice_loss, *, num_classes: int,
                         commitment_loss_weight: float = 1.0,
                         prototype_loss_weight: float = 0.01,
                         ce_weight=None,
-                        remat: bool = True,
+                        remat=True,
                         model_kwargs_key: str = "th"):
     """Build the fused CPS train step.  ``model_kwargs_key`` selects the
     flagship forward signature (gt, th) vs the percent-based variants.
 
-    ``remat`` checkpoints each train-mode forward: without it the four
-    training passes' activations coexist in HBM and a 512^2 batch-4 step
-    exceeds a v5e's 16 GB (measured); with it the backward recomputes each
-    forward — the TPU-idiomatic memory/FLOPs trade (jax.checkpoint)."""
+    ``remat``: without it the four training passes' activations coexist in
+    HBM and a 512^2 batch-4 step exceeds a v5e's 16 GB by ~1 GB (measured);
+    ``True`` checkpoints every train forward (max memory headroom),
+    ``"unsup"`` checkpoints only the two unsupervised passes (fits the v5e
+    with ~half the recompute cost — the default trade)."""
 
     th = confidence_threshold
 
     def _apply_train(variables, *args):
         return model.apply(variables, *args, train=True, mutable=["batch_stats"])
 
-    if remat:
-        _apply_train = jax.checkpoint(_apply_train)
+    _apply_train_remat = jax.checkpoint(_apply_train)
+    _sup_apply = _apply_train_remat if remat is True else _apply_train
+    _unsup_apply = _apply_train_remat if remat else _apply_train
 
-    def forward_train(variables, *args):
-        out, mut = _apply_train(variables, *args)
+    def forward_train(variables, *args, _apply=None):
+        out, mut = (_apply or _sup_apply)(variables, *args)
         return out, {**variables, "batch_stats": mut["batch_stats"]}
 
     def loss_fn(p1, p2, state, l_img, l_target, ul_img):
@@ -130,8 +132,10 @@ def make_cps_train_step(model, tx, dice_loss, *, num_classes: int,
         (pred_sup_1, c_l1, u_l1, pl_l1), v1 = forward_train(v1, l_img, l_target, th)
         (pred_sup_2, c_l2, u_l2, pl_l2), v2 = forward_train(v2, l_img, l_target, th)
         # unsupervised passes with the OTHER model's score map (#5, #6)
-        (pred_ul_1, c_ul1, u_ul1, pl_ul1), v1 = forward_train(v1, ul_img, pseudo_2_score, th)
-        (pred_ul_2, c_ul2, u_ul2, pl_ul2), v2 = forward_train(v2, ul_img, pseudo_1_score, th)
+        (pred_ul_1, c_ul1, u_ul1, pl_ul1), v1 = forward_train(
+            v1, ul_img, pseudo_2_score, th, _apply=_unsup_apply)
+        (pred_ul_2, c_ul2, u_ul2, pl_ul2), v2 = forward_train(
+            v2, ul_img, pseudo_1_score, th, _apply=_unsup_apply)
 
         pred_1 = jnp.concatenate([pred_sup_1, pred_ul_1], axis=0)
         pred_2 = jnp.concatenate([pred_sup_2, pred_ul_2], axis=0)
@@ -193,10 +197,25 @@ def make_eval_fn(model, num_classes: int):
 
     @jax.jit
     def eval_step(variables, img):
-        pred = model.apply(variables, img, train=False)[0]
-        return pred
+        out = model.apply(variables, img, train=False)
+        return out[0] if isinstance(out, tuple) else out
 
     return eval_step
+
+
+def evaluate(model, variables, loader, pixel_to_label, num_classes: int):
+    """Sweep a test loader for mIoU (the reference's embedded ``test``
+    helper, train_…v2.py:28-41).  Returns mean per-image mIoU."""
+    eval_step = make_eval_fn(model, num_classes)
+    total, n = 0.0, 0
+    for batch in loader:
+        pred = eval_step(variables, jnp.asarray(batch["img"]))
+        target = img_to_label(jnp.asarray(batch["target"]), pixel_to_label)
+        conf = confusion_matrix(pred, target, num_classes=num_classes)
+        m, _ = miou(conf)
+        total += float(m)
+        n += 1
+    return total / max(n, 1)
 
 
 def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
@@ -269,10 +288,30 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
         prototype_loss_weight=cfg.train.total_prototype_loss_weight,
     )
 
+    # resume (the reference's cfg.train.resume is vestigial — here it works:
+    # point it at a ckpoints/*.ckpt dir to restore both models + optimizers)
+    start_epoch = 0
+    resume = cfg.train.get("resume")
+    if resume:
+        from vq_seg_tpu.utils.ckpoints import load_full
+
+        ck = load_full(resume)
+        state = state.replace(variables_1=ck["model_1"], variables_2=ck["model_2"],
+                              opt_state_1=ck["optimizer_1"], opt_state_2=ck["optimizer_2"])
+        start_epoch = int(ck["epoch"]) + 1
+        initted = True
+    else:
+        initted = False
+
+    test_loader = None
+    if cfg.get("test") and cfg.train.get("test_every"):
+        test_dataset = BaseDataset(os.path.join(cfg.test.data_dir, "test"), "labelled",
+                                   batch_size=1, resize=cfg.resize)
+        test_loader = Loader(test_dataset, 1, shuffle=False)
+
     prec_ctx = (jax.default_matmul_precision("bfloat16") if half else nullcontext())
-    initted = False
     with prec_ctx:
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             trainloader = zip(cycle(iter(sup_loader)), iter(unsup_loader))
             sums: dict = {}
             ep_start = time.time()
@@ -301,6 +340,12 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                          f"commitment_loss={avg['commitment_loss']:.4f}, "
                          f"{time.time() - ep_start:.1f}s")
             print(print_txt)
+            if test_loader is not None and epoch % cfg.train.test_every == 0:
+                test_miou = evaluate(model, state.variables_1, test_loader,
+                                     cfg.pixel_to_label, num_classes)
+                print(f"test miou : {test_miou}")
+                if logger is not None:
+                    logger.log_dict["test_miou"] = test_miou
             if logger is not None:
                 log_txt.write(print_txt + "\n")
                 example = visualize.make_example_img(

@@ -53,17 +53,20 @@ def init_phase(model, state: TrainState, args, seed: int = 0):
 
 
 def make_sup_train_step(model, tx, dice_loss, *, num_classes: int,
-                        ce_weight=None, model_arg: str = "percent"):
-    """model_arg: extra forward arg after (x, gt) — "percent" (reliable
-    nets), "th" (v2), or None (plain nets)."""
+                        ce_weight=None, model_arg: str = "percent",
+                        forward_mode: str = "gt_extra"):
+    """``forward_mode``: the net's forward signature — "plain" (x only:
+    unet/vqunet), "gt" (x, gt), or "gt_extra" (x, gt, percent-or-th)."""
 
     def loss_fn(params, state, img, target, extra):
         variables = {**state.variables, "params": params}
-        args = (img, target) if extra is None else (img, target, extra)
-        try:
-            out, mut = model.apply(variables, *args, train=True, mutable=["batch_stats"])
-        except TypeError:
-            out, mut = model.apply(variables, img, train=True, mutable=["batch_stats"])
+        if forward_mode == "plain":
+            args = (img,)
+        elif forward_mode == "gt":
+            args = (img, target)
+        else:
+            args = (img, target, extra)
+        out, mut = model.apply(variables, *args, train=True, mutable=["batch_stats"])
         if isinstance(out, tuple):
             pred = out[0]
             commit = out[1] if len(out) > 1 and out[1] is not None else jnp.float32(0.0)
@@ -133,16 +136,18 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     sample_x = jnp.zeros((batch_size, resize, resize, 3))
     sample_gt = jnp.zeros((batch_size, resize, resize), jnp.int32)
     name = cfg.model.name
-    needs_extra = name not in ("unet", "unetoriginal", "vqunet_v1", "vqunet_v2")
+    plain_nets = ("unet", "unetoriginal", "vqunet_v1", "vqunet_v2", "vqpatchunet",
+                  "vqatunet", "vqcanet", "vqcanetv2", "vqcanetv3", "vqcanetv4",
+                  "drsavqunet", "vqimdbnet", "vqsegheadnet", "deeplabv3",
+                  "deeplabv3plus", "fcn32s")
+    needs_extra = name not in plain_nets
+    forward_mode = "gt_extra" if needs_extra else "plain"
     drop = cfg.train.get("unsup_loss_drop_percent", 80.0)
-    try:
-        state = create_state(model, tx, (sample_x, sample_gt, 100.0) if needs_extra
-                             else (sample_x,))
-    except TypeError:
-        needs_extra = False
-        state = create_state(model, tx, (sample_x,))
+    state = create_state(model, tx, (sample_x, sample_gt, 100.0) if needs_extra
+                         else (sample_x,))
 
-    train_step = make_sup_train_step(model, tx, dice, num_classes=num_classes)
+    train_step = make_sup_train_step(model, tx, dice, num_classes=num_classes,
+                                     forward_mode=forward_mode)
     save_dir = None
     logger = None
     if cfg.wandb_logging:
