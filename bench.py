@@ -41,6 +41,7 @@ def main(batch: int = 4, hw: int = 512, iters: int = 10, half: bool = True):
     )
     from __graft_entry__ import _flagship
     from contextlib import nullcontext
+    from vq_seg_tpu.models.layers import compute_dtype
 
     model = _flagship(num_embeddings=(0, 0, 512, 512, 512), encoder="resnet50")
     tx = optax.adam(1e-4)
@@ -49,11 +50,12 @@ def main(batch: int = 4, hw: int = 512, iters: int = 10, half: bool = True):
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (batch, hw, hw, 3), jnp.float32)
     gt = jnp.zeros((batch, hw, hw), jnp.int32)
-    with (jax.default_matmul_precision("bfloat16") if half else nullcontext()):
+    with (compute_dtype(jnp.bfloat16) if half else nullcontext()):
         state = create_cps_state(model, tx, (x, gt, 0.7))
         state = cps_init_phase(model, state, x, gt, 0.7)
         step = make_cps_train_step(model, tx, dice, num_classes=3,
-                                   confidence_threshold=0.7)
+                                   confidence_threshold=0.7,
+                                   remat=not half)
         # warmup / compile; scalar fetch = hard sync
         state, m, _, _ = step(state, x, gt, x)
         float(m["loss"])

@@ -17,7 +17,7 @@ def dice_coefficient(pred, target, num_classes: int, ignore_index=None):
     """pred (N,H,W,C) logits; target (N,H,W) int -> per-class dice (C,)."""
     n = pred.shape[0]
     c = pred.shape[-1]
-    pred = pred.reshape(n, -1, c)
+    pred = pred.reshape(n, -1, c).astype(jnp.float32)
     target = target.reshape(n, -1)
     if ignore_index is not None:
         mask = (target != ignore_index)

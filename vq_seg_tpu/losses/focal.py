@@ -21,7 +21,7 @@ def focal_loss(pred, target, alpha=0.25, gamma=2.0, num_classes: int = 3,
     target (N,H,W) int."""
     n = pred.shape[0]
     c = pred.shape[-1]
-    pred = pred.reshape(n, -1, c)
+    pred = pred.reshape(n, -1, c).astype(jnp.float32)
     target = target.reshape(n, -1)
     if ignore_index is not None:
         mask = (target != ignore_index)

@@ -47,7 +47,10 @@ resnet_encoders = {
 
 
 def _bn(name: str, train: bool):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
+    from vq_seg_tpu.models.layers import current_compute_dtype
+
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                        dtype=current_compute_dtype(), name=name)
 
 
 class BasicBlock(nn.Module):

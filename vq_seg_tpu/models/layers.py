@@ -29,6 +29,42 @@ kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 # variance-scaling with gain 1/3 on fan_in.
 torch_conv_default = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
+# ---------------------------------------------------------------------------
+# Global compute dtype (mixed precision)
+#
+# The reference trains under torch AMP (train_…v2.py:114,151).  The TPU
+# equivalent: params stay f32, conv/BN compute in bf16.  Because flax module
+# dtypes are fixed at construction and our modules are built inside traced
+# functions, the policy is a process-global read at TRACE time — set it (or
+# use the context manager) around state creation + the first train-step call
+# and every conv/BN picks it up.  Losses/metrics cast back to f32.
+# ---------------------------------------------------------------------------
+_COMPUTE_DTYPE = [None]
+
+
+def set_compute_dtype(dtype):
+    """Set the global conv/BN compute dtype (None = f32).  Affects modules
+    traced AFTER the call."""
+    _COMPUTE_DTYPE[0] = dtype
+
+
+def current_compute_dtype(explicit=None):
+    return explicit if explicit is not None else _COMPUTE_DTYPE[0]
+
+
+class compute_dtype:
+    """Context manager: with compute_dtype(jnp.bfloat16): ... (trace-time)."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+
+    def __enter__(self):
+        self.prev = _COMPUTE_DTYPE[0]
+        _COMPUTE_DTYPE[0] = self.dtype
+
+    def __exit__(self, *exc):
+        _COMPUTE_DTYPE[0] = self.prev
+
 _PAD_MODE = {"zeros": None, "reflect": "reflect", "replicate": "edge", "circular": "wrap"}
 
 
@@ -69,7 +105,7 @@ class ConvPad(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
-            dtype=self.dtype,
+            dtype=current_compute_dtype(self.dtype),
         )(x)
 
 
@@ -87,7 +123,7 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
-            dtype=self.dtype,
+            dtype=current_compute_dtype(self.dtype),
         )(x)
 
 
@@ -167,7 +203,10 @@ def upsample_bilinear_ac(x, scale: int | None = None, size: Tuple[int, int] | No
     """nn.UpsamplingBilinear2d: bilinear with align_corners=True (NHWC).
 
     Static gather + lerp along H then W; shapes are trace-time constants so
-    XLA sees two fused gathers.
+    XLA sees two fused gathers.  For narrow channel counts (C < 128 — e.g.
+    the 3-class head output) the lane dimension would be mostly idle, so the
+    interpolation runs in an NCHW-internal layout with W in lanes (measured
+    2x faster at C=3, bit-identical).
     """
     n, h, w, c = x.shape
     if size is None:
@@ -176,8 +215,13 @@ def upsample_bilinear_ac(x, scale: int | None = None, size: Tuple[int, int] | No
     if (oh, ow) == (h, w):
         return x
     i0, i1, wy = _ac_weights(h, oh)
-    x = (1.0 - wy)[None, :, None, None] * x[:, i0] + wy[None, :, None, None] * x[:, i1]
     j0, j1, wx = _ac_weights(w, ow)
+    if c < 128:
+        z = x.transpose(0, 3, 1, 2)  # (N, C, H, W): W in lanes
+        z = (1.0 - wy)[None, None, :, None] * z[:, :, i0] + wy[None, None, :, None] * z[:, :, i1]
+        z = (1.0 - wx)[None, None, None, :] * z[:, :, :, j0] + wx[None, None, None, :] * z[:, :, :, j1]
+        return z.transpose(0, 2, 3, 1)
+    x = (1.0 - wy)[None, :, None, None] * x[:, i0] + wy[None, :, None, None] * x[:, i1]
     x = (1.0 - wx)[None, None, :, None] * x[:, :, j0] + wx[None, None, :, None] * x[:, :, j1]
     return x
 

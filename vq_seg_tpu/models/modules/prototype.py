@@ -85,7 +85,7 @@ def _flatten_with_gt(x, gt):
     n, h, w, c = x.shape
     if gt.shape[1:] != (h, w):
         gt = resize_nearest(gt.astype(jnp.float32), (h, w)).astype(jnp.int32)
-    return x.reshape(n * h * w, c), gt.reshape(-1).astype(jnp.int32)
+    return x.reshape(n * h * w, c).astype(jnp.float32), gt.reshape(-1).astype(jnp.int32)
 
 
 def class_mean_features(flat_x, flat_gt, num_classes):

@@ -14,8 +14,9 @@ TPU-first redesign:
     initialised during forward #3 of step 0).
   * LR schedule: optax.adam(schedule) reproduces the reference's per-step
     ``optimizer.param_groups[0]['lr'] = sched.get_lr(step)`` poke.
-  * AMP: instead of GradScaler (unneeded on TPU), ``half=True`` lowers
-    matmul/conv precision to bf16 via jax.default_matmul_precision.
+  * AMP: instead of GradScaler (unneeded on TPU), ``half=True`` switches
+    conv/BN compute to bf16 via the global compute-dtype policy
+    (models/layers.py) with f32 params and f32 loss accumulation.
   * data parallel: pass a Mesh — batches shard over the ``data`` axis and
     XLA inserts the gradient all-reduce (see parallel/mesh.py).
 
@@ -143,8 +144,11 @@ def make_cps_train_step(model, tx, dice_loss, *, num_classes: int,
         pseudo_2 = jnp.argmax(pred_2, axis=-1)
 
         def score_mask(pred, pseudo):
-            # trainer-local confidence filter (train_…v2.py:43-46)
-            pmax = jnp.max(jax.nn.softmax(pred, axis=-1), axis=-1)
+            # trainer-local confidence filter (train_…v2.py:43-46);
+            # class-major transpose keeps the size-3 softmax off the lane dim
+            n, h, w_, c = pred.shape
+            z = pred.reshape(n, h * w_, c).transpose(0, 2, 1)
+            pmax = jnp.max(jax.nn.softmax(z, axis=1), axis=1).reshape(n, h, w_)
             return jnp.where(pmax > th, pseudo, 255)
 
         filt_1 = jax.lax.stop_gradient(score_mask(pred_1, pseudo_1))
@@ -286,6 +290,9 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
         cps_loss_weight=cfg.train.cps_loss_weight,
         commitment_loss_weight=cfg.train.total_commitment_loss_weight,
         prototype_loss_weight=cfg.train.total_prototype_loss_weight,
+        # bf16 activations halve HBM pressure enough to skip remat (measured
+        # 36 vs 24 img/s at 512^2 bs4); f32 needs it to fit a v5e
+        remat=cfg.train.get("remat", not half),
     )
 
     # resume (the reference's cfg.train.resume is vestigial — here it works:
@@ -309,7 +316,9 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                                    batch_size=1, resize=cfg.resize)
         test_loader = Loader(test_dataset, 1, shuffle=False)
 
-    prec_ctx = (jax.default_matmul_precision("bfloat16") if half else nullcontext())
+    from vq_seg_tpu.models.layers import compute_dtype
+
+    prec_ctx = (compute_dtype(jnp.bfloat16) if half else nullcontext())
     with prec_ctx:
         for epoch in range(start_epoch, num_epochs):
             trainloader = zip(cycle(iter(sup_loader)), iter(unsup_loader))

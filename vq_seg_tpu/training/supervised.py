@@ -157,7 +157,9 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
         os.makedirs(os.path.join(save_dir, "ckpoints"), exist_ok=True)
         logger = Logger(cfg, logger_name, offline_dir=save_dir)
 
-    prec_ctx = (jax.default_matmul_precision("bfloat16") if half else nullcontext())
+    from vq_seg_tpu.models.layers import compute_dtype
+
+    prec_ctx = (compute_dtype(jnp.bfloat16) if half else nullcontext())
     initted = False
     with prec_ctx:
         for epoch in range(num_epochs):
