@@ -37,7 +37,8 @@ def _restore_model_vars(path):
     return ck.get("model_1", ck)
 
 
-def test_loop(cfg, model, weights_path, measurement, save_dir=None, save_img=False):
+def test_loop(cfg, model, weights_path, measurement, save_dir=None, save_img=False,
+              use_crf=False):
     test_dataset = BaseDataset(os.path.join(cfg.test.data_dir, "test"), "labelled",
                                batch_size=1, resize=cfg.resize, target_resize=False)
     loader = Loader(test_dataset, 1, shuffle=False)
@@ -52,6 +53,13 @@ def test_loop(cfg, model, weights_path, measurement, save_dir=None, save_img=Fal
         out = model.apply(vs, img, train=False)
         return out[0] if isinstance(out, tuple) else out
 
+    crf = None
+    if use_crf:
+        # dense-CRF refinement before scoring (reference deprecated/test _crf.py)
+        from vq_seg_tpu.utils.crf import DenseCRF
+
+        crf = DenseCRF()
+
     sums = np.zeros(6)
     iou_sums = None
     n = 0
@@ -62,6 +70,11 @@ def test_loop(cfg, model, weights_path, measurement, save_dir=None, save_img=Fal
         pred = forward(variables, img)
         if pred.shape[1:3] != mask.shape[1:3]:
             pred = resize_bilinear(pred, mask.shape[1:3])
+        if crf is not None:
+            img_full = (img if img.shape[1:3] == mask.shape[1:3]
+                        else resize_bilinear(img, mask.shape[1:3]))
+            prob = jax.nn.softmax(pred[0], axis=-1)
+            pred = crf(img_full[0], prob)[None]
         label = np.asarray(img_to_label(jnp.asarray(mask), cfg.pixel_to_label))
         acc, miou_v, iou_list, precision_v, recall_v, f1 = measurement.measure(
             np.asarray(pred), label)
@@ -93,7 +106,7 @@ def test_loop(cfg, model, weights_path, measurement, save_dir=None, save_img=Fal
     return result
 
 
-def test(cfg, save_img=None):
+def test(cfg, save_img=None, use_crf=False):
     model = make_model(cfg.model)
     measurement = Measurement(cfg.num_classes)
     weights = cfg.test.weights
@@ -107,7 +120,8 @@ def test(cfg, save_img=None):
         candidates = [weights]
     best = None
     for ck in candidates:
-        res = test_loop(cfg, model, ck, measurement, save_dir=save_dir, save_img=save_img)
+        res = test_loop(cfg, model, ck, measurement, save_dir=save_dir, save_img=save_img,
+                        use_crf=use_crf)
         if res is None:
             continue
         print(ck, {k: round(float(v), 4) for k, v in res.items() if k != "iou_by_class"})
@@ -121,6 +135,8 @@ def test(cfg, save_img=None):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", required=True)
+    parser.add_argument("--crf", action="store_true",
+                        help="dense-CRF refinement before scoring")
     opt = parser.parse_args()
     cfg = get_config_from_json(opt.config_path)
-    test(cfg)
+    test(cfg, use_crf=opt.crf)

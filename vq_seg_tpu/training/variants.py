@@ -142,3 +142,66 @@ def make_unimatch_train_step(model, tx, *, num_classes: int,
         ), aux["metrics"]
 
     return step
+
+
+def make_salient_cps_train_step(model, tx, *, num_classes: int,
+                                cps_loss_weight: float = 1.0,
+                                commitment_loss_weight: float = 1.0,
+                                auxiliary_loss_weight: float = 1.0,
+                                ce_weight=None):
+    """Salient-loss CPS (deprecated/train_salient_loss.py:120-161): two
+    VQUnetwithSalientloss models; CPS CE on each other's argmax pseudo-labels
+    plus an MSE auxiliary loss pulling the sigmoid saliency decoders toward
+    the precomputed saliency maps (nearest-resized to the decoder grid)."""
+
+    ce = partial(cross_entropy_loss, ignore_index=255, weight=ce_weight)
+
+    def fwd(variables, x):
+        (pred, commit, usage, sal), mut = model.apply(
+            variables, x, train=True, mutable=["batch_stats"])
+        return pred, commit, sal, {**variables, "batch_stats": mut["batch_stats"]}
+
+    def _sal_loss(sal_pred, sal_map):
+        tgt = jax.image.resize(sal_map, sal_pred.shape[:3], method="nearest")[..., None]
+        return jnp.mean((sal_pred - tgt) ** 2)
+
+    def loss_fn(p1, p2, state, l_img, l_target, l_sal, ul_img, ul_sal):
+        v1 = {**state.variables_1, "params": p1}
+        v2 = {**state.variables_2, "params": p2}
+        pred_sup_1, c_l1, sal_l1, v1 = fwd(v1, l_img)
+        pred_sup_2, c_l2, sal_l2, v2 = fwd(v2, l_img)
+        pred_ul_1, c_ul1, sal_ul1, v1 = fwd(v1, ul_img)
+        pred_ul_2, c_ul2, sal_ul2, v2 = fwd(v2, ul_img)
+        pred_1 = jnp.concatenate([pred_sup_1, pred_ul_1], 0)
+        pred_2 = jnp.concatenate([pred_sup_2, pred_ul_2], 0)
+        pseudo_1 = jax.lax.stop_gradient(jnp.argmax(pred_1, -1))
+        pseudo_2 = jax.lax.stop_gradient(jnp.argmax(pred_2, -1))
+        cps = ce(pred_1, pseudo_2) + ce(pred_2, pseudo_1)
+        sup = ce(pred_sup_1, l_target) + ce(pred_sup_2, l_target)
+        commit = c_l1 + c_l2 + c_ul1 + c_ul2
+        salient = (_sal_loss(sal_l1, l_sal) + _sal_loss(sal_l2, l_sal)
+                   + _sal_loss(sal_ul1, ul_sal) + _sal_loss(sal_ul2, ul_sal))
+        loss = (sup + cps_loss_weight * cps + commitment_loss_weight * commit
+                + auxiliary_loss_weight * salient)
+        conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        return loss, dict(batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
+                          metrics=dict(loss=loss, cps_loss=cps, salient_loss=salient,
+                                       commitment_loss=commit, miou=m, iou_list=iou_list))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: CPSTrainState, l_img, l_target, l_sal, ul_img, ul_sal):
+        (p1, _), (p2, _) = _split(state.variables_1), _split(state.variables_2)
+        (g1, g2), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            p1, p2, state, l_img, l_target, l_sal, ul_img, ul_sal)
+        u1, o1 = tx.update(g1, state.opt_state_1, p1)
+        u2, o2 = tx.update(g2, state.opt_state_2, p2)
+        return state.replace(
+            variables_1={**state.variables_1, "params": optax.apply_updates(p1, u1),
+                         "batch_stats": aux["batch_stats_1"]},
+            variables_2={**state.variables_2, "params": optax.apply_updates(p2, u2),
+                         "batch_stats": aux["batch_stats_2"]},
+            opt_state_1=o1, opt_state_2=o2, step=state.step + 1,
+        ), aux["metrics"]
+
+    return step

@@ -91,3 +91,36 @@ def save_tar(target_path: str):
     with tarfile.open(os.path.join(head, name + ".tar.gz"), "w:gz") as t:
         t.add(target_path)
     shutil.rmtree(target_path)
+
+
+def load_vqvae_pretrained(variables, encoder_ckpt: str, codebook_ckpt: str,
+                          encoder_path=("core", "encoder")):
+    """Load a self-sup-pretrained encoder + codebooks into a network's
+    variables (reference load_pretrained, unet/net.py:54-59: consumes the
+    encoder/codebook files written by save_vqvae).
+
+    Returns a new variables dict; the codebook collection keys are matched by
+    name where present.
+    """
+    import copy
+
+    enc = _load_tree(encoder_ckpt)
+    cbs = _load_tree(codebook_ckpt)
+    variables = {k: copy.deepcopy(dict(v)) if isinstance(v, dict) else v
+                 for k, v in variables.items()}
+
+    def subtree(root):
+        node = root
+        for p in encoder_path:
+            node = node[p]
+        return node
+
+    if "params" in enc:
+        subtree(variables["params"]).update(enc["params"])
+    if "batch_stats" in enc and "batch_stats" in variables:
+        subtree(variables["batch_stats"]).update(enc["batch_stats"])
+    if cbs and "codebook" in variables:
+        for k, v in cbs.items():
+            if k in variables["codebook"]:
+                variables["codebook"][k] = v
+    return variables

@@ -75,3 +75,20 @@ def reinit_modules(params, key, paths: Sequence[Tuple[str, ...]]):
     for p in paths:
         params = walk(params, list(p))
     return params
+
+
+def freeze_encoder_tx(tx, encoder_path: str = "encoder"):
+    """Zero all updates for the encoder subtree (reference freeze_encoder,
+    unet/net.py:61-66: requires_grad=False on encoder + codebook params;
+    the codebook collection is already non-trainable here)."""
+
+    def label_fn(params):
+        def walk(tree, in_enc):
+            if isinstance(tree, dict):
+                return {k: walk(v, in_enc or k == encoder_path) for k, v in tree.items()}
+            return "frozen" if in_enc else "trainable"
+
+        return walk(params, False)
+
+    return optax.multi_transform({"trainable": tx, "frozen": optax.set_to_zero()},
+                                 label_fn)
