@@ -37,7 +37,8 @@ def main(batch: int = 4, hw: int = 512, iters: int = 10, half: bool = True):
     from vq_seg_tpu.training.cps import (
         cps_init_phase,
         create_cps_state,
-        make_cps_train_step,
+        make_cps_train_step_stacked,
+        stack_cps_state,
     )
     from __graft_entry__ import _flagship
     from contextlib import nullcontext
@@ -53,9 +54,10 @@ def main(batch: int = 4, hw: int = 512, iters: int = 10, half: bool = True):
     with (compute_dtype(jnp.bfloat16) if half else nullcontext()):
         state = create_cps_state(model, tx, (x, gt, 0.7))
         state = cps_init_phase(model, state, x, gt, 0.7)
-        step = make_cps_train_step(model, tx, dice, num_classes=3,
-                                   confidence_threshold=0.7,
-                                   remat=not half)
+        state = stack_cps_state(state, tx)
+        step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
+                                           confidence_threshold=0.7,
+                                           remat=not half)
         # warmup / compile; scalar fetch = hard sync
         state, m, _, _ = step(state, x, gt, x)
         float(m["loss"])

@@ -118,6 +118,11 @@ def test(cfg, save_img=None, use_crf=False):
         candidates = sorted(glob(os.path.join(weights, "*.ckpt")))
     else:
         candidates = [weights]
+    logger = None
+    if cfg.get("wandb_logging"):
+        from vq_seg_tpu.utils.logger import TestLogger, dict_to_table_log
+
+        logger = TestLogger(cfg, run_name, offline_dir=save_dir)
     best = None
     for ck in candidates:
         res = test_loop(cfg, model, ck, measurement, save_dir=save_dir, save_img=save_img,
@@ -125,10 +130,17 @@ def test(cfg, save_img=None, use_crf=False):
         if res is None:
             continue
         print(ck, {k: round(float(v), 4) for k, v in res.items() if k != "iou_by_class"})
+        if logger is not None:
+            logger.log_dict.update({k: v for k, v in res.items() if k != "iou_by_class"})
+            logger.table_update("results", list(res.keys()),
+                                [[str(v) for v in res.values()]])
+            logger.logging()
         if best is None or res["test_miou"] > best[1]["test_miou"]:
             best = (ck, res)
     if best is not None:
         print("best:", best[0], best[1])
+    if logger is not None:
+        logger.finish()
     return best
 
 

@@ -87,3 +87,36 @@ def test_codebook_frozen_through_training(cps_setup):
     # reference parity: euclidean codebook receives no gradient/EMA update
     # (SURVEY.md §2.1 critical behavioural facts)
     assert np.array_equal(cb_before, cb_after)
+
+
+def test_stacked_step_matches_unstacked(cps_setup):
+    """The vmapped two-models-as-one-batch step must reproduce the reference
+    (unstacked) loss math exactly (training/cps.py::make_cps_train_step_stacked)."""
+    import optax
+
+    from vq_seg_tpu.losses import make_loss
+    from vq_seg_tpu.training.cps import (
+        make_cps_train_step_stacked,
+        stack_cps_state,
+        unstack_cps_state,
+    )
+
+    model, state, step, (l_img, l_target, ul_img) = cps_setup
+    st = _fresh(state)
+    _, m1, _, _ = step(_fresh(state), l_img, l_target, ul_img)
+
+    tx = optax.adam(1e-3)
+    dice = make_loss("dice_loss", 3, ignore_index=255)
+    stacked = stack_cps_state(st, tx)
+    sstep = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
+                                        confidence_threshold=0.7)
+    new_stacked, m2, _, _ = sstep(stacked, l_img, l_target, ul_img)
+    for k in ("loss", "cps_loss", "sup_loss_1", "sup_loss_2",
+              "commitment_loss", "prototype_loss", "miou"):
+        a, b = float(m1[k]), float(m2[k])
+        # vmap batches the convs differently (accumulation order changes);
+        # the scale-30 exponentials amplify that to ~0.1% on the loss
+        assert abs(a - b) <= 5e-3 * max(abs(a), 1e-3), (k, a, b)
+    v1, v2 = unstack_cps_state(new_stacked)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(
+        state.variables_1)

@@ -195,6 +195,115 @@ def make_cps_train_step(model, tx, dice_loss, *, num_classes: int,
     return train_step
 
 
+def stack_cps_state(state: CPSTrainState, tx) -> CPSTrainState:
+    """Stack the two models' variables along a leading axis of 2 and fuse
+    their optimizers into one (Adam is elementwise, so one update over the
+    stacked tree is identical to two separate updates).  The stacked layout
+    lets every forward/backward run both models as ONE batched computation —
+    measured: doubling the conv batch costs only ~17% at 512^2 bs4, so this
+    nearly halves the 6-forward CPS step."""
+    stacked = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]),
+                                     state.variables_1, state.variables_2)
+    return CPSTrainState(variables_1=stacked, variables_2=None,
+                         opt_state_1=tx.init(stacked["params"]), opt_state_2=None,
+                         step=state.step)
+
+
+def unstack_cps_state(state: CPSTrainState):
+    """(model_1_vars, model_2_vars) from a stacked state — for the reference
+    checkpoint layout {model_1, model_2, ...}."""
+    v1 = jax.tree_util.tree_map(lambda x: x[0], state.variables_1)
+    v2 = jax.tree_util.tree_map(lambda x: x[1], state.variables_1)
+    return v1, v2
+
+
+def make_cps_train_step_stacked(model, tx, dice_loss, *, num_classes: int,
+                                confidence_threshold: float = 0.7,
+                                cps_loss_weight: float = 1.0,
+                                commitment_loss_weight: float = 1.0,
+                                prototype_loss_weight: float = 0.01,
+                                ce_weight=None,
+                                remat=False):
+    """Fused CPS step over a STACKED state (see stack_cps_state): the two
+    models' 6 forwards become 3 vmapped forwards at double batch.  Loss math
+    identical to make_cps_train_step (reference train_…v2.py:143-202)."""
+
+    th = confidence_threshold
+
+    def _apply_train(variables, img, gt, thv):
+        return model.apply(variables, img, gt, thv, train=True, mutable=["batch_stats"])
+
+    if remat:
+        _apply_train = jax.checkpoint(_apply_train)
+
+    # vmap over the model axis of variables; inputs broadcast or per-model
+    vfwd_eval = jax.vmap(lambda v, img: model.apply(v, img, train=False)[0],
+                         in_axes=(0, None))
+    vfwd_sup = jax.vmap(_apply_train, in_axes=(0, None, None, None))
+    vfwd_ul = jax.vmap(_apply_train, in_axes=(0, None, 0, None))
+
+    def loss_fn(params, state, l_img, l_target, ul_img):
+        v = {**state.variables_1, "params": params}
+        pseudo_scores = jax.lax.stop_gradient(vfwd_eval(v, ul_img))   # (2, B, H, W, C)
+        swapped = pseudo_scores[::-1]  # model k trains on the OTHER's scores
+
+        (pred_sup, c_l, u_l, pl_l), mut = vfwd_sup(v, l_img, l_target, th)
+        v = {**v, "batch_stats": mut["batch_stats"]}
+        (pred_ul, c_ul, u_ul, pl_ul), mut = vfwd_ul(v, ul_img, swapped, th)
+
+        pred = jnp.concatenate([pred_sup, pred_ul], axis=1)  # (2, 2B, H, W, C)
+        pseudo = jnp.argmax(pred, axis=-1)
+
+        def score_mask(p, ps):
+            m, n, h, w_, c = p.shape
+            z = p.reshape(m, n, h * w_, c).transpose(0, 1, 3, 2)
+            pmax = jnp.max(jax.nn.softmax(z, axis=2), axis=2).reshape(m, n, h, w_)
+            return jnp.where(pmax > th, ps, 255)
+
+        filt = jax.lax.stop_gradient(score_mask(pred, pseudo))
+        filt_swapped = filt[::-1]
+
+        ce = partial(cross_entropy_loss, ignore_index=255, weight=ce_weight)
+        vce = jax.vmap(ce)
+        vdice = jax.vmap(dice_loss)
+        # 0.5*ce(p1,f2)+0.5*ce(p2,f1)+dice(p1,f2)+dice(p2,f1)  (:177)
+        cps_loss = (0.5 * jnp.sum(vce(pred, filt_swapped))
+                    + jnp.sum(vdice(pred, filt_swapped)))
+        sup_losses = (0.5 * vce(pred_sup, jnp.broadcast_to(l_target, (2,) + l_target.shape))
+                      + vdice(pred_sup, jnp.broadcast_to(l_target, (2,) + l_target.shape)))
+        commitment = (jnp.sum(c_l) + jnp.sum(c_ul)) * commitment_loss_weight
+        prototype = (jnp.sum(pl_l) + jnp.sum(pl_ul)) * prototype_loss_weight
+        loss = jnp.sum(sup_losses) + cps_loss_weight * cps_loss + commitment + prototype
+
+        code_usage = (u_l[0] + u_l[1] + u_ul[0] + u_ul[1]) / 4.0
+        conf = confusion_matrix(pred_sup[0], l_target, num_classes=num_classes)
+        step_miou, iou_list = miou(conf)
+        aux = dict(
+            batch_stats=mut["batch_stats"],
+            metrics=dict(loss=loss, cps_loss=cps_loss, sup_loss_1=sup_losses[0],
+                         sup_loss_2=sup_losses[1], commitment_loss=commitment,
+                         prototype_loss=prototype, miou=step_miou,
+                         iou_list=iou_list, code_usage=code_usage),
+            pred_sup_1=pred_sup[0], pred_ul_1=pred_ul[0],
+        )
+        return loss, aux
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: CPSTrainState, l_img, l_target, ul_img):
+        params = state.variables_1["params"]
+        grads, aux = jax.grad(loss_fn, has_aux=True)(params, state, l_img, l_target, ul_img)
+        updates, opt_state = tx.update(grads, state.opt_state_1, params)
+        new_state = state.replace(
+            variables_1={**state.variables_1,
+                         "params": optax.apply_updates(params, updates),
+                         "batch_stats": aux["batch_stats"]},
+            opt_state_1=opt_state, step=state.step + 1,
+        )
+        return new_state, aux["metrics"], aux["pred_sup_1"], aux["pred_ul_1"]
+
+    return train_step
+
+
 def make_eval_fn(model, num_classes: int):
     """Per-batch eval forward + confusion matrix (the in-training ``test``
     probe, train_…v2.py:28-41)."""
@@ -285,13 +394,13 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     sample_gt = jnp.zeros((batch_size, resize, resize), jnp.int32)
     state = create_cps_state(model, tx, (sample_x, sample_gt, th))
 
-    train_step = make_cps_train_step(
+    train_step = make_cps_train_step_stacked(
         model, tx, dice, num_classes=num_classes, confidence_threshold=th,
         cps_loss_weight=cfg.train.cps_loss_weight,
         commitment_loss_weight=cfg.train.total_commitment_loss_weight,
         prototype_loss_weight=cfg.train.total_prototype_loss_weight,
         # bf16 activations halve HBM pressure enough to skip remat (measured
-        # 36 vs 24 img/s at 512^2 bs4); f32 needs it to fit a v5e
+        # 39 vs 24 img/s at 512^2 bs4); f32 needs it to fit a v5e
         remat=cfg.train.get("remat", not half),
     )
 
@@ -299,14 +408,18 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     # point it at a ckpoints/*.ckpt dir to restore both models + optimizers)
     start_epoch = 0
     resume = cfg.train.get("resume")
+    stacked = False
     if resume:
         from vq_seg_tpu.utils.ckpoints import load_full
 
         ck = load_full(resume)
-        state = state.replace(variables_1=ck["model_1"], variables_2=ck["model_2"],
-                              opt_state_1=ck["optimizer_1"], opt_state_2=ck["optimizer_2"])
+        state = state.replace(variables_1=ck["model_1"], variables_2=ck["model_2"])
+        state = stack_cps_state(state, tx)
+        if ck.get("optimizer_1") is not None:
+            state = state.replace(opt_state_1=ck["optimizer_1"])
         start_epoch = int(ck["epoch"]) + 1
         initted = True
+        stacked = True
     else:
         initted = False
 
@@ -332,6 +445,9 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                 if not initted:
                     state = cps_init_phase(model, state, l_input, l_target, th)
                     initted = True
+                if not stacked:
+                    state = stack_cps_state(state, tx)
+                    stacked = True
                 state, metrics, pred_sup_1, pred_ul_1 = train_step(
                     state, l_input, l_target, ul_input)
                 for k, v in metrics.items():
@@ -350,7 +466,8 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                          f"{time.time() - ep_start:.1f}s")
             print(print_txt)
             if test_loader is not None and epoch % cfg.train.test_every == 0:
-                test_miou = evaluate(model, state.variables_1, test_loader,
+                v1_eval, _ = unstack_cps_state(state)
+                test_miou = evaluate(model, v1_eval, test_loader,
                                      cfg.pixel_to_label, num_classes)
                 print(f"test miou : {test_miou}")
                 if logger is not None:
@@ -363,12 +480,13 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                 logger.image_update(example, f"{epoch}ep")
                 if cfg.train.save_img:
                     visualize.save_img(img_dir, f"output_{epoch}ep.png", example)
+                v1_ck, v2_ck = unstack_cps_state(state)
                 if epoch % 10 == 0:
-                    save_ckpoints(state.variables_1, state.variables_2, epoch, batch_idx,
-                                  state.opt_state_1, state.opt_state_2,
+                    save_ckpoints(v1_ck, v2_ck, epoch, batch_idx,
+                                  state.opt_state_1, None,
                                   os.path.join(ckpoints_dir, f"{epoch}ep.ckpt"))
-                save_ckpoints(state.variables_1, state.variables_2, epoch, batch_idx,
-                              state.opt_state_1, state.opt_state_2,
+                save_ckpoints(v1_ck, v2_ck, epoch, batch_idx,
+                              state.opt_state_1, None,
                               os.path.join(ckpoints_dir, "last.ckpt"))
                 logger.log_dict.update({k: float(v) for k, v in avg.items()})
                 logger.log_dict.update(dict(back_iou=back_iou, weed_iou=weed_iou,
