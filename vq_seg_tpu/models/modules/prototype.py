@@ -309,22 +309,31 @@ class ReliablePrototypeLossv2(_ProtoBase):
             pred = gt
             if pred.shape[1:3] != (h, w_):
                 pred = resize_bilinear(pred.astype(jnp.float32), (h, w_))
-            flat_pred = pred.reshape(-1, pred.shape[-1])
-            prob = jax.nn.softmax(flat_pred, axis=-1)
-            confidence_mask = (jnp.max(prob, axis=-1) > th).astype(pred.dtype)
+            # class-major softmax (C in lanes would idle 125/128 of the VPU)
+            zc = pred.reshape(-1, pred.shape[-1]).astype(jnp.float32).T
+            prob = jax.nn.softmax(zc, axis=0)
+            confidence_mask = (jnp.max(prob, axis=0) > th).astype(jnp.float32)
             gt = jnp.argmax(pred, axis=-1)
         flat_x, flat_gt = _flatten_with_gt(x, gt)
         w = self._table(flat_x, flat_gt, init_protos)
         wn = l2norm(w)
         fx = l2norm(flat_x)
-        cosine = fx @ wn.T
+        # class-major cosine (K, M): keeps every subsequent elementwise op,
+        # the margin select, and the gt gather (an iota-mask sum — profiled
+        # 17 ms/step as a lane-3 gather+scatter pair) off the lane dim
+        cosine = wn @ fx.T
         phi = arcface_phi(cosine, self.margin, self.easy_margin)
-        gt_onehot = jax.nn.one_hot(flat_gt, self.num_classes, dtype=cosine.dtype)
+        gt_onehot = (jax.lax.broadcasted_iota(jnp.int32, cosine.shape, 0)
+                     == flat_gt[None, :])
         # multiplicative margin at the gt position only
-        cosine = jnp.where(gt_onehot > 0, cosine * phi, cosine)
+        cosine = jnp.where(gt_onehot, cosine * phi, cosine)
         cosine = self.scale * cosine
-        positive = jnp.take_along_axis(cosine, flat_gt[:, None], -1)[:, 0]
-        loss = eps_softmax_ce(cosine, positive, confidence_mask)
+        positive = jnp.sum(jnp.where(gt_onehot, cosine, 0.0), axis=0)
+        sum_all = jnp.sum(jnp.exp(cosine), axis=0)
+        lg = jnp.log(jnp.exp(positive) / (sum_all + 1e-7) + 1e-7)
+        if confidence_mask is not None:
+            lg = lg * confidence_mask
+        loss = -jnp.mean(lg)
         if self.orthogonal_reg_weight > 0:
             loss = loss + orthogonal_loss_fn(w) * self.orthogonal_reg_weight
         return loss

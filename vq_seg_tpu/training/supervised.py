@@ -44,12 +44,22 @@ def create_state(model, tx, sample_args, seed: int = 0):
 
 
 def init_phase(model, state: TrainState, args, seed: int = 0):
+    """Data-dependent init (kmeans codebooks/prototypes).  Nets without those
+    phases (plain unet, deeplab, ...) simply don't accept the kwargs — the
+    signature TypeError is raised before any tracing, so falling through is
+    safe (unlike in-trace try/except)."""
     key = jax.random.PRNGKey(seed)
-    _, mut = model.apply(state.variables, *args, train=True, init_codebook=True,
-                         init_protos=True,
-                         mutable=["params", "batch_stats", "codebook"],
-                         rngs={"kmeans": key, "dropout": key})
-    return state.replace(variables={**state.variables, **mut})
+    for kwargs in ({"init_codebook": True, "init_protos": True},
+                   {"init_codebook": True}, None):
+        if kwargs is None:
+            return state
+        try:
+            _, mut = model.apply(state.variables, *args, train=True, **kwargs,
+                                 mutable=["params", "batch_stats", "codebook"],
+                                 rngs={"kmeans": key, "dropout": key})
+            return state.replace(variables={**state.variables, **mut})
+        except TypeError:
+            continue
 
 
 def make_sup_train_step(model, tx, dice_loss, *, num_classes: int,
