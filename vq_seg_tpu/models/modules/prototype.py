@@ -151,11 +151,14 @@ class PrototypeLoss(_ProtoBase):
     @nn.compact
     def __call__(self, x, gt, train: bool = True, init_protos: bool = False):
         flat_x, flat_gt = _flatten_with_gt(x, gt)
-        onehot = onehot_1d(flat_gt, self.num_classes)  # +1e-6 eps (seg_tools)
         w = self._table(flat_x, flat_gt, init_protos)
         w = jax.lax.stop_gradient(l2norm(w))
         fx = l2norm(flat_x)
-        cosine = fx @ w.T
+        cosine = w @ fx.T  # class-major (K, M) — see v2 note on lane layout
+        # eps-ed onehot (reference onehot_1d adds 1e-6 everywhere,
+        # utils/seg_tools.py:23-34 — the eps leaks into the blend/positive)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, cosine.shape, 0)
+                  == flat_gt[None, :]).astype(jnp.float32) + 1e-6
         if self.margin != 0:
             phi = arcface_phi(cosine, self.margin, self.easy_margin)
             cosine = onehot * phi + (1.0 - onehot) * cosine
@@ -163,8 +166,9 @@ class PrototypeLoss(_ProtoBase):
             cosine = self.scale * cosine
         # NB the reference's positive is exp(sum(cosine*onehot)) with the
         # eps-ed onehot (prototype.py:151); reproduce exactly:
-        positive = jnp.sum(cosine * onehot, axis=-1)
-        return eps_softmax_ce(cosine, positive)
+        positive = jnp.sum(cosine * onehot, axis=0)
+        sum_all = jnp.sum(jnp.exp(cosine), axis=0)
+        return -jnp.mean(jnp.log(jnp.exp(positive) / (sum_all + 1e-7) + 1e-7))
 
 
 class EuclideanPrototypeLoss(_ProtoBase):
@@ -230,19 +234,21 @@ class ReliablePrototypeLoss(_ProtoBase):
     @nn.compact
     def __call__(self, x, gt, percent, entropy, train: bool = True, init_protos: bool = False):
         flat_x, flat_gt = _flatten_with_gt(x, gt)
-        onehot = onehot_1d(flat_gt, self.num_classes)
         w = self._table(flat_x, flat_gt, init_protos)
         wn = jax.lax.stop_gradient(l2norm(w))
         fx = l2norm(flat_x)
-        cosine = fx @ wn.T
+        cosine = wn @ fx.T  # class-major (K, M)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, cosine.shape, 0)
+                  == flat_gt[None, :]).astype(jnp.float32) + 1e-6
         if self.margin != 0:
             phi = arcface_phi(cosine, self.margin, self.easy_margin)
             cosine = onehot * phi + (1.0 - onehot) * cosine
         if self.scale != 1:
             cosine = self.scale * cosine
         mask = entropy_mask(entropy, percent).astype(cosine.dtype)
-        positive = jnp.sum(cosine * onehot, axis=-1)
-        loss = eps_softmax_ce(cosine, positive, mask)
+        positive = jnp.sum(cosine * onehot, axis=0)
+        sum_all = jnp.sum(jnp.exp(cosine), axis=0)
+        loss = -jnp.mean(jnp.log(jnp.exp(positive) / (sum_all + 1e-7) + 1e-7) * mask)
         if self.orthogonal_reg_weight > 0:
             loss = loss + orthogonal_loss_fn(w) * self.orthogonal_reg_weight
         return loss
