@@ -214,11 +214,14 @@ class NEDPrototypeLoss(_ProtoBase):
         flat_x, flat_gt = _flatten_with_gt(x, gt)
         w = self._table(flat_x, flat_gt, init_protos)
         w = jax.lax.stop_gradient(w)
+        # class-major (K, M) distances; iota-mask gather instead of a lane-K
+        # take_along_axis (see v2 layout note)
         d = jnp.sqrt(jnp.maximum(
-            jnp.sum(flat_x**2, -1, keepdims=True) - 2 * flat_x @ w.T + jnp.sum(w**2, -1)[None, :],
+            jnp.sum(w**2, -1)[:, None] - 2 * w @ flat_x.T + jnp.sum(flat_x**2, -1)[None, :],
             1e-12))
-        p = jax.nn.softmax(d / self.temperature, axis=-1)
-        return -jnp.mean(jnp.take_along_axis(p, flat_gt[:, None], axis=-1))
+        p = jax.nn.softmax(d / self.temperature, axis=0)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) == flat_gt[None, :])
+        return -jnp.mean(jnp.sum(jnp.where(onehot, p, 0.0), axis=0))
 
 
 class ReliablePrototypeLoss(_ProtoBase):
@@ -281,11 +284,12 @@ class StableTemperaturedPrototypeLoss(_ProtoBase):
         w = self._table(flat_x, flat_gt, init_protos)
         wn = l2norm(w)
         fx = l2norm(flat_x)
-        cosine = fx @ wn.T
-        mask = entropy_mask(entropy, percent).astype(cosine.dtype)[:, None]
+        cosine = wn @ fx.T  # class-major (K, M)
+        mask = entropy_mask(entropy, percent).astype(cosine.dtype)[None, :]
         cosine = cosine * mask
-        positive = jnp.exp(jnp.take_along_axis(cosine, flat_gt[:, None], -1)[:, 0] / self.t)
-        sum_all = jnp.sum(jnp.exp(cosine) / self.t, axis=-1)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, cosine.shape, 0) == flat_gt[None, :])
+        positive = jnp.exp(jnp.sum(jnp.where(onehot, cosine, 0.0), axis=0) / self.t)
+        sum_all = jnp.sum(jnp.exp(cosine) / self.t, axis=0)
         loss = -jnp.mean(jnp.log(positive / (sum_all + 1e-7) + 1e-7))
         if self.orthogonal_reg_weight > 0:
             loss = loss + orthogonal_loss_fn(w) * self.orthogonal_reg_weight
@@ -384,12 +388,15 @@ class OnlyCWPrototypeLoss(_ProtoBase):
         w = self._table(flat_x, flat_gt, init_protos)
         wn = l2norm(w)
         fx = l2norm(flat_x)
-        cosine = self.scale * (fx @ wn.T)
+        cosine = self.scale * (wn @ fx.T)  # class-major (K-1, M)
         mask = entropy_mask(entropy, percent) & (flat_gt != 0)
         # gt-1 indexing over the (K-1)-entry table; bg rows are masked anyway
         idx = jnp.clip(flat_gt - 1, 0, self._k - 1)
-        positive = jnp.take_along_axis(cosine, idx[:, None], -1)[:, 0]
-        loss = eps_softmax_ce(cosine, positive, mask.astype(cosine.dtype))
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, cosine.shape, 0) == idx[None, :])
+        positive = jnp.sum(jnp.where(onehot, cosine, 0.0), axis=0)
+        sum_all = jnp.sum(jnp.exp(cosine), axis=0)
+        lg = jnp.log(jnp.exp(positive) / (sum_all + 1e-7) + 1e-7) * mask.astype(cosine.dtype)
+        loss = -jnp.mean(lg)
         if self.orthogonal_reg_weight > 0:
             loss = loss + orthogonal_loss_fn(w) * self.orthogonal_reg_weight
         return loss
