@@ -39,3 +39,20 @@ def test_pallas_rejects_unaligned():
         vq_assign_pallas(jnp.zeros((10, 100)), jnp.zeros((512, 100)))
     with pytest.raises(ValueError):
         vq_assign_pallas(jnp.zeros((10, 512)), jnp.zeros((128, 512)))  # K too small
+
+
+def test_pallas_under_vmap_matches_xla():
+    """The stacked CPS step vmaps the models — the kernel must batch
+    correctly (Mosaic custom call survives vmap; parity per slice)."""
+    from vq_seg_tpu.ops.vq import vq_assign, vq_assign_xla
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 1000, 512))
+    cb = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 512))
+    idx, quant, counts = jax.vmap(lambda a, b: vq_assign(a, b))(x, cb)
+    for m in range(2):
+        i_ref, q_ref, c_ref = vq_assign_xla(x[m], cb[m])
+        assert bool((idx[m] == i_ref).all())
+        assert float(jnp.max(jnp.abs(quant[m] - q_ref))) == 0.0
+        assert bool((counts[m] == c_ref).all())
+    hlo = jax.jit(jax.vmap(lambda a, b: vq_assign(a, b))).lower(x, cb).as_text()
+    assert "tpu_custom_call" in hlo or "mosaic" in hlo.lower()

@@ -416,7 +416,19 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
         state = state.replace(variables_1=ck["model_1"], variables_2=ck["model_2"])
         state = stack_cps_state(state, tx)
         if ck.get("optimizer_1") is not None:
-            state = state.replace(opt_state_1=ck["optimizer_1"])
+            # orbax restores the optax NamedTuple state as plain containers —
+            # rebuild it into a freshly-initialised template's structure
+            template = state.opt_state_1
+            leaves = jax.tree_util.tree_leaves(ck["optimizer_1"])
+            t_leaves, treedef = jax.tree_util.tree_flatten(template)
+            if len(leaves) == len(t_leaves) and all(
+                    getattr(a, "shape", None) == getattr(b, "shape", None)
+                    for a, b in zip(leaves, t_leaves)):
+                state = state.replace(
+                    opt_state_1=jax.tree_util.tree_unflatten(treedef, leaves))
+            else:
+                print("resume: optimizer state structure mismatch — "
+                      "continuing with fresh Adam moments")
         start_epoch = int(ck["epoch"]) + 1
         initted = True
         stacked = True
