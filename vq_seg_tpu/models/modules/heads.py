@@ -104,25 +104,25 @@ class AngularSegmentationHead(_HeadProtoMixin):
         if self.upsampling > 1:
             x = upsample_bilinear_ac(x, scale=self.upsampling)
         n, h, w_, c = x.shape
-        flat_x = x.reshape(-1, c)
+        flat_x = x.reshape(-1, c).astype(jnp.float32)
         emb = self._embedding()
         if init_protos:
             emb = self._maybe_init(emb, l1norm(flat_x))
         wn = l1norm(emb)
         fx = l1norm(flat_x)
-        cosine = fx @ wn.T
+        cosine = wn @ fx.T  # class-major (K, M) — see prototype.py layout note
         loss = jnp.float32(0.0)
         if train and gt is not None:
             flat_gt = gt.reshape(-1).astype(jnp.int32)
             phi = arcface_phi(cosine, self.margin, self.easy_margin)
-            onehot = jax.nn.one_hot(flat_gt, self.num_classes, dtype=cosine.dtype)
-            logits = self.scale * jnp.where(onehot > 0, cosine * phi, cosine)
-            positive = jnp.take_along_axis(logits, flat_gt[:, None], -1)[:, 0]
-            loss = eps_softmax_ce(logits, positive)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, cosine.shape, 0)
+                      == flat_gt[None, :])
+            logits = self.scale * jnp.where(onehot, cosine * phi, cosine)
+            positive = jnp.sum(jnp.where(onehot, logits, 0.0), axis=0)
+            sum_all = jnp.sum(jnp.exp(logits), axis=0)
+            loss = -jnp.mean(jnp.log(jnp.exp(positive) / (sum_all + 1e-7) + 1e-7))
             cosine = logits
-        else:
-            cosine = self.scale * cosine if (train and gt is not None) else cosine
-        pred = jax.nn.softmax(cosine.reshape(n, h, w_, self.num_classes), axis=-1)
+        pred = jax.nn.softmax(cosine, axis=0).T.reshape(n, h, w_, self.num_classes)
         return pred, loss
 
 
@@ -146,13 +146,13 @@ class AngularSegmentationHeadv2(_HeadProtoMixin):
         x = ConvPad(self.out_channels, self.kernel_size, 1, self.kernel_size // 2,
                     use_bias=True, kernel_init=torch_conv_default)(x)
         n, h, w_, c = x.shape
-        flat_x = x.reshape(-1, c)
+        flat_x = x.reshape(-1, c).astype(jnp.float32)
         emb = self._embedding()
         if init_protos:
             emb = self._maybe_init(emb, flat_x)
         wn = l2norm(emb)
         fx = l2norm(flat_x)
-        cosine = fx @ wn.T
+        cosine = wn @ fx.T  # class-major (K, M)
         loss = jnp.float32(0.0)
         gt_map = None
         if train and gt is not None:
@@ -161,15 +161,17 @@ class AngularSegmentationHeadv2(_HeadProtoMixin):
             gt_map = gt.astype(jnp.int32)
             flat_gt = gt_map.reshape(-1)
             phi = arcface_phi(cosine, self.margin, self.easy_margin)
-            onehot = jax.nn.one_hot(flat_gt, self.num_classes, dtype=cosine.dtype)
-            logits = self.scale * jnp.where(onehot > 0, cosine * phi, cosine)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, cosine.shape, 0)
+                      == flat_gt[None, :])
+            logits = self.scale * jnp.where(onehot, cosine * phi, cosine)
             if entropy is not None:
-                mask = entropy_mask(entropy, percent).astype(logits.dtype)[:, None]
+                mask = entropy_mask(entropy, percent).astype(logits.dtype)[None, :]
                 logits = logits * mask
-            positive = jnp.take_along_axis(logits, flat_gt[:, None], -1)[:, 0]
-            loss = eps_softmax_ce(logits, positive)
+            positive = jnp.sum(jnp.where(onehot, logits, 0.0), axis=0)
+            sum_all = jnp.sum(jnp.exp(logits), axis=0)
+            loss = -jnp.mean(jnp.log(jnp.exp(positive) / (sum_all + 1e-7) + 1e-7))
             cosine = logits
-        pred = jax.nn.softmax(cosine.reshape(n, h, w_, self.num_classes), axis=-1)
+        pred = jax.nn.softmax(cosine, axis=0).T.reshape(n, h, w_, self.num_classes)
         if self.upsampling > 1:
             pred = upsample_bilinear_ac(pred, scale=self.upsampling)
         if train and gt_map is not None:
@@ -202,14 +204,14 @@ class AngularSegmentationHeadv3(_HeadProtoMixin):
         if self.upsampling > 1:
             x = upsample_bilinear_ac(x, scale=self.upsampling)
         n, h, w_, c = x.shape
-        flat_x = x.reshape(-1, c)
+        flat_x = x.reshape(-1, c).astype(jnp.float32)
         emb = self._embedding()
         if init_protos:
             emb = self._maybe_init(emb, l2norm(flat_x))
         wn = l2norm(emb)
         fx = l2norm(flat_x)
-        cosine = fx @ wn.T
-        result = jax.nn.softmax(cosine.reshape(n, h, w_, self.num_classes), axis=-1)
+        cosine = wn @ fx.T  # class-major (K, M)
+        result = jax.nn.softmax(cosine, axis=0).T.reshape(n, h, w_, self.num_classes)
         loss = jnp.float32(0.0)
         if train and pred is not None:
             gt = jnp.argmax(pred, axis=-1) if split == "unlabeled" else pred
@@ -218,17 +220,19 @@ class AngularSegmentationHeadv3(_HeadProtoMixin):
             gt_map = gt.astype(jnp.int32)
             flat_gt = gt_map.reshape(-1)
             phi = arcface_phi(cosine, self.margin, self.easy_margin)
-            onehot = jax.nn.one_hot(flat_gt, self.num_classes, dtype=cosine.dtype)
-            logits = self.scale * jnp.where(onehot > 0, cosine * phi, cosine)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, cosine.shape, 0)
+                      == flat_gt[None, :])
+            logits = self.scale * jnp.where(onehot, cosine * phi, cosine)
             if split == "unlabeled" and th > 0:
                 # NB the reference overwrites its score_mask with the resized
                 # pseudo-gt (segmentation_head.py:385-387) — we use the
                 # intended confidence mask (documented divergence).
                 mask = score_mask(pred, th)[..., 0]
                 mask = jax.image.resize(mask.astype(jnp.float32), (n, h, w_), "nearest")
-                logits = logits * mask.reshape(-1, 1)
-            positive = jnp.take_along_axis(logits, flat_gt[:, None], -1)[:, 0]
-            loss = eps_softmax_ce(logits, positive)
+                logits = logits * mask.reshape(1, -1)
+            positive = jnp.sum(jnp.where(onehot, logits, 0.0), axis=0)
+            sum_all = jnp.sum(jnp.exp(logits), axis=0)
+            loss = -jnp.mean(jnp.log(jnp.exp(positive) / (sum_all + 1e-7) + 1e-7))
             class_feat = jax.lax.stop_gradient(jnp.take(wn, gt_map, axis=0))
             loss = loss + jnp.mean((class_feat - x) ** 2)
             if self.orthogonal_reg_weight > 0:
