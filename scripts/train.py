@@ -2,8 +2,15 @@
 
     python scripts/train.py --config_path config/vqreptunet1x1v2.json
 
-Dispatches on config: CPS semi-supervised for the flagship nets (default),
-``--mode sup`` for supervised, ``--mode selfsup`` for VQ-VAE pretraining.
+Modes (the reference's trainer-script envelope as one CLI):
+  cps        flagship confidence-masked CPS (train_vqreptunet1x1v2.py)
+  sup        supervised (deprecated/train_sup.py)
+  selfsup    VQ-VAE codebook pretraining (deprecated/self_sup_train.py)
+  plaincps   plain CPS (deprecated/train_CPS.py)
+  unimatch   UniMatch (deprecated/train_UniMatch.py)
+  salientcps CPS + saliency aux decoders (deprecated/train_salient_loss.py)
+  vqpt       (x, gt) prototype-net CPS, optional VQ-VAE-pretrained frozen
+             encoder via cfg.train.pretrained (deprecated/train_vq_pt_unet.py)
 """
 from __future__ import annotations
 
@@ -19,7 +26,9 @@ from vq_seg_tpu.config import get_config_from_json  # noqa: E402
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", default="./config/vqreptunet1x1v2.json")
-    parser.add_argument("--mode", default="cps", choices=["cps", "sup", "selfsup"])
+    parser.add_argument("--mode", default="cps",
+                        choices=["cps", "sup", "selfsup", "plaincps", "unimatch",
+                                 "salientcps", "vqpt"])
     parser.add_argument("--max_steps_per_epoch", type=int, default=None)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batches over all local devices")
@@ -40,10 +49,18 @@ def main():
         from vq_seg_tpu.training import supervised
 
         supervised.train(cfg, max_steps_per_epoch=opt.max_steps_per_epoch, mesh=mesh)
-    else:
+    elif opt.mode == "selfsup":
         from vq_seg_tpu.training import selfsup
 
         selfsup.train(cfg, max_steps_per_epoch=opt.max_steps_per_epoch)
+    else:
+        from vq_seg_tpu.training import variant_drivers
+
+        fn = {"plaincps": variant_drivers.train_plain_cps,
+              "unimatch": variant_drivers.train_unimatch,
+              "salientcps": variant_drivers.train_salient_cps,
+              "vqpt": variant_drivers.train_vqpt_cps}[opt.mode]
+        fn(cfg, max_steps_per_epoch=opt.max_steps_per_epoch)
 
 
 if __name__ == "__main__":

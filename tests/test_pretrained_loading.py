@@ -1,0 +1,198 @@
+"""Full-encoder pretrained-weight conversion parity (VERDICT #1).
+
+torchvision is not installed, so the test constructs a torch ResNet-18 with
+the exact torchvision module naming (conv1/bn1/layer{1..4}.{i}.{conv,bn}N/
+downsample.{0,1}) from torch.nn primitives, runs its staged forward in eval
+mode, converts its state_dict through utils/torch_weights.convert_resnet,
+and checks every encoder stage output of our flax ResNetEncoder against the
+torch reference — the end-to-end proof that a real torchvision/SWSL .pth
+maps onto this framework's encoders.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from vq_seg_tpu.models.encoders import make_encoder
+from vq_seg_tpu.utils.torch_weights import (
+    apply_pretrained_encoder,
+    convert_resnet,
+    load_encoder_weights,
+    resolve_pretrained,
+)
+
+
+class TorchBasicBlock(tnn.Module):
+    """torchvision BasicBlock with identical attribute names."""
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.downsample = None
+        if stride != 1 or inplanes != planes:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inplanes, planes, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes))
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return torch.relu(out + identity)
+
+
+class TorchResNet18(tnn.Module):
+    """torchvision-named resnet18 trunk (fc/avgpool omitted like the
+    reference encoder, resnet.py:128-129)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        planes = (64, 128, 256, 512)
+        inp = 64
+        for li, p in enumerate(planes):
+            blocks = []
+            for b in range(2):
+                stride = 2 if (li > 0 and b == 0) else 1
+                blocks.append(TorchBasicBlock(inp, p, stride))
+                inp = p
+            setattr(self, f"layer{li + 1}", tnn.Sequential(*blocks))
+
+    def stages(self, x):
+        outs = [x]
+        y = torch.relu(self.bn1(self.conv1(x)))
+        outs.append(y)
+        y = self.maxpool(y)
+        for li in range(4):
+            y = getattr(self, f"layer{li + 1}")(y)
+            outs.append(y)
+        return outs
+
+
+@pytest.fixture(scope="module")
+def torch_r18():
+    torch.manual_seed(0)
+    net = TorchResNet18().eval()
+    # perturb BN running stats so eval-mode normalisation is non-trivial
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.1)
+                m.bias.normal_(0, 0.1)
+    return net
+
+
+def test_full_encoder_stage_parity(torch_r18):
+    """All 6 stages of the converted encoder match torch, atol 1e-4."""
+    sd = {k: v.numpy() for k, v in torch_r18.state_dict().items()}
+    params, batch_stats = convert_resnet(sd)
+
+    enc, ch = make_encoder("resnet18")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    # converted trees must be drop-in: same structure as the flax init
+    variables = {"params": params, "batch_stats": batch_stats}
+    ours = enc.apply(variables, jnp.asarray(x), train=False)
+
+    with torch.no_grad():
+        theirs = torch_r18.stages(torch.tensor(x).permute(0, 3, 1, 2))
+    assert len(ours) == len(theirs) == 6
+    for i, (a, b) in enumerate(zip(ours, theirs)):
+        b = b.permute(0, 2, 3, 1).numpy()
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-4,
+                                   err_msg=f"stage {i}")
+
+
+def test_apply_pretrained_encoder_into_flagship(torch_r18, tmp_path):
+    """cfg.model.params.encoder_weights as a .pth path reaches the flagship
+    net's nested core/encoder subtree (VERDICT #1: was never wired)."""
+    from vq_seg_tpu.models.networks import make_model
+
+    pth = str(tmp_path / "resnet18-test.pth")
+    torch.save(torch_r18.state_dict(), pth)
+
+    model = make_model({"name": "vqreptunet1x1v2", "params": {
+        "encoder_name": "resnet18", "num_classes": 3,
+        "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4], "distance": "euclidean",
+                   "kmeans_init": True},
+        "margin": 0.5, "scale": 30.0,
+    }})
+    x = jnp.zeros((1, 32, 32, 3))
+    gt = jnp.zeros((1, 32, 32), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, gt, 0.7, train=True)
+    loaded = apply_pretrained_encoder(variables, "resnet18", pth)
+
+    conv1 = np.asarray(loaded["params"]["core"]["encoder"]["conv1"]["Conv_0"]["kernel"])
+    expect = torch_r18.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(conv1, expect)
+    bnm = np.asarray(loaded["batch_stats"]["core"]["encoder"]["bn1"]["mean"])
+    np.testing.assert_array_equal(bnm, torch_r18.bn1.running_mean.numpy())
+    # non-encoder params untouched
+    h0 = jax.tree_util.tree_leaves(variables["params"]["segmentation_head"])
+    h1 = jax.tree_util.tree_leaves(loaded["params"]["segmentation_head"])
+    assert all(np.array_equal(np.asarray(a), np.asarray(b)) for a, b in zip(h0, h1))
+
+
+def test_resolve_pretrained(tmp_path, monkeypatch, torch_r18):
+    from vq_seg_tpu.utils.torch_weights import PRETRAINED_DIR_ENV
+
+    # direct path wins
+    pth = str(tmp_path / "w.pth")
+    torch.save({}, pth)
+    assert resolve_pretrained(pth, "resnet50") == pth
+    # tag resolves against the cache dir
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setenv(PRETRAINED_DIR_ENV, str(cache))
+    torch.save({}, str(cache / "resnet50-imagenet_swsl.pth"))
+    assert resolve_pretrained("imagenet_swsl", "resnet50") == \
+        str(cache / "resnet50-imagenet_swsl.pth")
+    # unresolvable tag warns LOUDLY and returns None
+    with pytest.warns(UserWarning, match="FROM SCRATCH"):
+        assert resolve_pretrained("imagenet", "resnet18") is None
+    assert resolve_pretrained(None, "resnet50") is None
+
+
+def test_create_cps_state_loads_encoder_weights(torch_r18, tmp_path):
+    """The trainer path: create_cps_state(encoder_weights=...) loads the
+    SAME pretrained encoder into both CPS branches."""
+    import optax
+
+    from vq_seg_tpu.models.networks import make_model
+    from vq_seg_tpu.training.cps import create_cps_state
+
+    pth = str(tmp_path / "resnet18-test.pth")
+    torch.save(torch_r18.state_dict(), pth)
+    model = make_model({"name": "vqreptunet1x1v2", "params": {
+        "encoder_name": "resnet18", "num_classes": 3,
+        "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4], "distance": "euclidean",
+                   "kmeans_init": True},
+        "margin": 0.5, "scale": 30.0,
+    }})
+    x = jnp.zeros((1, 32, 32, 3))
+    gt = jnp.zeros((1, 32, 32), jnp.int32)
+    state = create_cps_state(model, optax.adam(1e-3), (x, gt, 0.7),
+                             encoder_name="resnet18", encoder_weights=pth,
+                             init_weights=True)
+    expect = torch_r18.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    for v in (state.variables_1, state.variables_2):
+        got = np.asarray(v["params"]["core"]["encoder"]["conv1"]["Conv_0"]["kernel"])
+        np.testing.assert_array_equal(got, expect)
+    # decoders stay decorrelated
+    d1 = jax.tree_util.tree_leaves(state.variables_1["params"]["core"]["decoder"])
+    d2 = jax.tree_util.tree_leaves(state.variables_2["params"]["core"]["decoder"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(d1, d2))

@@ -1,0 +1,140 @@
+"""Smoke tests for the variant trainer DRIVERS (VERDICT #5: the jitted
+steps existed but were unreachable as runnable programs)."""
+import os
+
+import numpy as np
+import pytest
+
+from vq_seg_tpu.config import Config
+
+
+def _base_cfg(synthetic_dataset, tmp_path, model, extra_train=None):
+    train = {
+        "data_dir": synthetic_dataset, "save_dir": str(tmp_path / "runs"),
+        "num_epochs": 1, "batch_size": 1, "learning_rate": 1e-4,
+        "lr_scheduler": {"name": "cosineannealing", "min_lr": 1e-7,
+                         "warmup_steps": 0},
+        "half": False, "criterion": {"name": "dice_loss"},
+        "cps_loss_weight": 1, "total_commitment_loss_weight": 1,
+        "total_prototype_loss_weight": 0.01, "confidence_threshold": 0.7,
+        "save_img": False, "save_txt": True,
+    }
+    train.update(extra_train or {})
+    return Config({
+        "project_name": "variant_test", "wandb_logging": False,
+        "num_classes": 3, "pixel_to_label": {"0": 0, "128": 1, "255": 2},
+        "resize": 32, "model": model, "train": train,
+    })
+
+
+def _vq_model(name, **extra):
+    params = {"encoder_name": "resnet18", "num_classes": 3,
+              "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4],
+                         "distance": "euclidean", "kmeans_init": True}}
+    params.update(extra)
+    return {"name": name, "params": params}
+
+
+def _assert_run_saved(tmp_path):
+    runs = os.listdir(str(tmp_path / "runs"))
+    assert len(runs) == 1
+    ck = os.path.join(str(tmp_path / "runs"), runs[0], "ckpoints", "last.ckpt")
+    assert os.path.isdir(ck)
+    return ck
+
+
+def test_plain_cps_driver(synthetic_dataset, tmp_path):
+    from vq_seg_tpu.training.variant_drivers import train_plain_cps
+
+    cfg = _base_cfg(synthetic_dataset, tmp_path, _vq_model("vqunet_v2"))
+    state = train_plain_cps(cfg, max_steps_per_epoch=1)
+    assert np.isfinite(float(np.asarray(
+        jax_leaves_first(state.variables_1["params"]))))
+    _assert_run_saved(tmp_path)
+
+
+def test_unimatch_driver(synthetic_dataset, tmp_path):
+    from vq_seg_tpu.training.variant_drivers import train_unimatch
+
+    cfg = _base_cfg(synthetic_dataset, tmp_path,
+                    {"name": "unimatch", "params": {
+                        "encoder_name": "resnet18", "num_classes": 3}},
+                    extra_train={"confidence_threshold": 0.95})
+    state = train_unimatch(cfg, max_steps_per_epoch=1)
+    assert state is not None
+    _assert_run_saved(tmp_path)
+
+
+def test_salient_cps_driver(synthetic_dataset, tmp_path):
+    from PIL import Image
+
+    from vq_seg_tpu.training.variant_drivers import train_salient_cps
+
+    # precomputed saliency maps for every training input
+    sal_dir = tmp_path / "salient"
+    sal_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for f in os.listdir(os.path.join(synthetic_dataset, "train", "input")):
+        m = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+        Image.fromarray(m, mode="L").save(sal_dir / f)
+
+    cfg = _base_cfg(synthetic_dataset, tmp_path,
+                    _vq_model("VQUnetwithSalientloss"),
+                    extra_train={"salient_dir": str(sal_dir),
+                                 "auxiliary_loss_weight": 1.0})
+    state = train_salient_cps(cfg, max_steps_per_epoch=1)
+    assert state is not None
+    _assert_run_saved(tmp_path)
+
+
+def test_vqpt_driver_with_selfsup_pretrain_flow(synthetic_dataset, tmp_path):
+    """The full vq_pt_unet.json flow: selfsup VQ-VAE pretrain -> frozen
+    pretrained encoder + codebook -> vqptunet CPS (VERDICT #5 done gate)."""
+    import jax
+
+    from vq_seg_tpu.training import selfsup
+    from vq_seg_tpu.training.variant_drivers import train_vqpt_cps
+
+    # 1) selfsup pretraining writes encoder/codebook/decoder checkpoints
+    vqvae_model = _vq_model("vqvaev2")
+    del vqvae_model["params"]["num_classes"]  # vqvaev2 is a recon net
+    selfsup_cfg = Config({
+        "project_name": "selfsup_test", "wandb_logging": False,
+        "num_classes": 3, "pixel_to_label": {"0": 0, "128": 1, "255": 2},
+        "resize": 32,
+        "model": vqvae_model,
+        "train": {"data_dir": os.path.join(synthetic_dataset, "train", "input"),
+                  "save_dir": str(tmp_path / "selfsup"), "num_epochs": 1,
+                  "batch_size": 2, "learning_rate": 1e-4,
+                  "lr_scheduler": {"name": "cosineannealing", "min_lr": 1e-7,
+                                   "warmup_steps": 0},
+                  "half": False},
+    })
+    selfsup.train(selfsup_cfg, max_steps_per_epoch=1)
+    ckpt_dir = os.path.join(str(tmp_path / "selfsup"), "selfsup_ckpoints")
+    enc_ck = os.path.join(ckpt_dir, "0ep_encoder.ckpt")
+    cb_ck = os.path.join(ckpt_dir, "0ep_codebook.ckpt")
+    assert os.path.isdir(enc_ck) and os.path.isdir(cb_ck)
+
+    # 2) CPS with the pretrained frozen encoder
+    cfg = _base_cfg(synthetic_dataset, tmp_path,
+                    _vq_model("vqptunet", margin=0.5, scale=30.0),
+                    extra_train={"pretrained": {"encoder": enc_ck,
+                                                "codebook": cb_ck}})
+    state = train_vqpt_cps(cfg, max_steps_per_epoch=1)
+    _assert_run_saved(tmp_path)
+
+    # frozen encoder: params unchanged after the step
+    from vq_seg_tpu.utils.ckpoints import _load_tree
+
+    enc_saved = _load_tree(enc_ck)
+    enc_now = state.variables_1["params"]["core"]["encoder"]
+    for a, b in zip(jax.tree_util.tree_leaves(enc_saved["params"]),
+                    jax.tree_util.tree_leaves(enc_now)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def jax_leaves_first(tree):
+    import jax
+
+    return np.asarray(jax.tree_util.tree_leaves(tree)[0]).ravel()[0]

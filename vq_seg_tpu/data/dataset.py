@@ -183,7 +183,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False, device_put=None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, workers: int = 0, cache: bool = True,
+                 cache_budget_bytes: int = 4 << 30):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -191,6 +192,32 @@ class Loader:
         self.drop_last = drop_last
         self.device_put = device_put
         self.prefetch = prefetch
+        # decode pool: PIL's png decode releases the GIL, so a small thread
+        # pool parallelises per-item decode+resize inside a batch (helps the
+        # cold first epoch; measured in tools/loader_bench.py).
+        self.workers = workers
+        # decoded-item RAM cache.  The target workloads are 30-430 images
+        # trained for ~400 epochs (BASELINE.md) while PNG decode sustains
+        # only ~4 img/s at native CWFID resolution vs the ~44 img/s step —
+        # brutally input-bound without this.  Decode once, serve from RAM
+        # from epoch 2 on.  Disabled automatically if the decoded set would
+        # exceed ``cache_budget_bytes`` (estimated from the first item).
+        self._cache: Optional[dict] = {} if cache else None
+        self._cache_budget = cache_budget_bytes
+
+    def _get_item(self, i: int):
+        if self._cache is None:
+            return self.dataset[i]
+        hit = self._cache.get(i)
+        if hit is not None:
+            return hit
+        item = self.dataset[i]
+        nbytes = sum(v.nbytes for v in item.values() if hasattr(v, "nbytes"))
+        if nbytes * len(self.dataset) > self._cache_budget:
+            self._cache = None  # too big — fall back to re-decoding
+            return item
+        self._cache[i] = item
+        return item
 
     def __len__(self):
         n = len(self.dataset)
@@ -201,29 +228,45 @@ class Loader:
         if self.shuffle:
             self.rng.shuffle(order)
         nb = len(self)
-        for b in range(nb):
-            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-            items = [self.dataset[int(i)] for i in idx]
-            batch = {"filename": [it["filename"] for it in items]}
-            for key in items[0]:
-                if key == "filename":
-                    continue
-                batch[key] = np.stack([it[key] for it in items], axis=0)
-            yield batch
+        pool = None
+        if self.workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.workers)
+        try:
+            for b in range(nb):
+                idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if pool is not None:
+                    items = list(pool.map(self._get_item, (int(i) for i in idx)))
+                else:
+                    items = [self._get_item(int(i)) for i in idx]
+                batch = {"filename": [it["filename"] for it in items]}
+                for key in items[0]:
+                    if key == "filename":
+                        continue
+                    batch[key] = np.stack([it[key] for it in items], axis=0)
+                yield batch
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         STOP = object()
 
         def worker():
+            # decode/IO errors are shipped to the consumer and re-raised
+            # there — a clean STOP would silently truncate the epoch (and
+            # evaluate() would average over a partial image set)
             try:
                 for batch in self._batches():
                     if self.device_put is not None:
                         batch = {k: (self.device_put(v) if k != "filename" else v)
                                  for k, v in batch.items()}
                     q.put(batch)
-            finally:
                 q.put(STOP)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -231,4 +274,6 @@ class Loader:
             item = q.get()
             if item is STOP:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

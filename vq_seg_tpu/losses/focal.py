@@ -40,8 +40,10 @@ def focal_loss(pred, target, alpha=0.25, gamma=2.0, num_classes: int = 3,
     if reduction == "none":
         return fl
     if reduction == "mean":
-        if weight is not None:
-            fl = fl / jnp.sum(jnp.asarray(weight))
+        # reference parity: focal_loss.py:44-48 divides by sum(weight) but
+        # then OVERWRITES the result with plain torch.mean(focal_loss) — the
+        # division is dead code, so weighted mean == unweighted mean of the
+        # weighted per-pixel terms
         return jnp.mean(fl)
     if reduction == "sum":
         return jnp.sum(fl)

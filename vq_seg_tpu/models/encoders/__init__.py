@@ -33,6 +33,10 @@ PRETRAINED_URLS = {
         "imagenet_ssl": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_supervised_resnet50-08389792.pth",
         "imagenet_swsl": "https://dl.fbaipublicfiles.com/semiweaksupervision/model_files/semi_weakly_supervised_resnet50-16a12f1b.pth",
     },
+    "convnext_tiny": {"imagenet": "https://download.pytorch.org/models/convnext_tiny-983f1562.pth"},
+    "convnext_small": {"imagenet": "https://download.pytorch.org/models/convnext_small-0c510722.pth"},
+    "convnext_base": {"imagenet": "https://download.pytorch.org/models/convnext_base-6075fbad.pth"},
+    "convnext_large": {"imagenet": "https://download.pytorch.org/models/convnext_large-ea097f82.pth"},
 }
 
 

@@ -65,6 +65,29 @@ class compute_dtype:
     def __exit__(self, *exc):
         _COMPUTE_DTYPE[0] = self.prev
 
+# ---------------------------------------------------------------------------
+# Decoder BN hyperparameter override (reference init_weight: cfg.train.bn_eps
+# / cfg.train.bn_momentum are applied to the DECODER's BatchNorms only,
+# models/__init__.py:19-26 + train_…v2.py:74-80).  Same trace-time-global
+# idiom as the compute dtype: trainers set it from config before tracing;
+# UnetDecoder reads it.  Momentum is torch-style (new-stat fraction, 0.1
+# default) and converted to the flax convention (1 - torch) at the read.
+# ---------------------------------------------------------------------------
+_DECODER_BN = [None, None]  # (eps, torch_momentum)
+
+
+def set_decoder_bn_overrides(eps=None, torch_momentum=None):
+    _DECODER_BN[0] = eps
+    _DECODER_BN[1] = torch_momentum
+
+
+def decoder_bn_params():
+    """(flax_eps, flax_momentum) for decoder BatchNorms."""
+    eps = _DECODER_BN[0] if _DECODER_BN[0] is not None else 1e-5
+    mom = 0.9 if _DECODER_BN[1] is None else 1.0 - _DECODER_BN[1]
+    return eps, mom
+
+
 _PAD_MODE = {"zeros": None, "reflect": "reflect", "replicate": "edge", "circular": "wrap"}
 
 
@@ -140,6 +163,7 @@ class ConvBNReLU(nn.Module):
     padding_mode: str = "zeros"
     act: Optional[Callable] = nn.relu
     bn_eps: float = 1e-5
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -148,7 +172,7 @@ class ConvBNReLU(nn.Module):
             self.features, self.kernel_size, self.strides, pad, self.dilation,
             self.groups, self.use_bias, self.padding_mode,
         )(x)
-        x = BatchNorm(epsilon=self.bn_eps)(x, train)
+        x = BatchNorm(epsilon=self.bn_eps, momentum=self.bn_momentum)(x, train)
         if self.act is not None:
             x = self.act(x)
         return x
@@ -175,17 +199,20 @@ def resize_bilinear(x, size: Tuple[int, int]):
 
 
 def resize_nearest(x, size: Tuple[int, int]):
-    """F.interpolate(mode='nearest') over NHW[C].
+    """F.interpolate(mode='nearest') over NHW[C] — EXACT torch semantics:
+    src_idx = floor(out_idx * in/out).
 
-    torch 'nearest' uses floor(out_idx * in/out) source indexing; jax's
-    'nearest' rounds half-pixel centers.  For the integer scale factors used
-    throughout the reference the two agree; for non-integer ratios they can
-    differ by one source pixel — acceptable for label maps.
+    (jax.image.resize 'nearest' rounds half-pixel centers, which picks the
+    *other* pixel when downsampling by an integer factor — e.g. odd rows
+    where torch picks even.  That shifted the prototype loss's gt grid every
+    step; measured |dproto| 4.7e-2 against the torch transcription.  A static
+    gather reproduces torch bit-exactly and costs the same.)
     """
-    if x.ndim == 3:
-        return jax.image.resize(x, (x.shape[0], size[0], size[1]), method="nearest")
-    n, _, _, c = x.shape
-    return jax.image.resize(x, (n, size[0], size[1], c), method="nearest")
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = size
+    iy = np.floor(np.arange(oh) * (h / oh)).astype(np.int32)
+    ix = np.floor(np.arange(ow) * (w / ow)).astype(np.int32)
+    return x[:, iy][:, :, ix]
 
 
 def _ac_weights(in_size: int, out_size: int):

@@ -16,7 +16,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from vq_seg_tpu.models.layers import ConvBNReLU, resize_bilinear
+from vq_seg_tpu.models.layers import ConvBNReLU, decoder_bn_params, resize_bilinear
 from vq_seg_tpu.models.modules.attention import CCA
 
 
@@ -26,8 +26,12 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = ConvBNReLU(self.features, self.kernel_size)(x, train)
-        x = ConvBNReLU(self.features, self.kernel_size)(x, train)
+        # cfg.train.bn_eps / bn_momentum reach exactly the decoder BNs, as in
+        # the reference's init_weight([decoder, head], ...) call
+        # (models/__init__.py:19-26)
+        eps, mom = decoder_bn_params()
+        x = ConvBNReLU(self.features, self.kernel_size, bn_eps=eps, bn_momentum=mom)(x, train)
+        x = ConvBNReLU(self.features, self.kernel_size, bn_eps=eps, bn_momentum=mom)(x, train)
         return x
 
 

@@ -62,13 +62,37 @@ def _split(variables):
     return variables["params"], rest
 
 
-def create_cps_state(model, tx, sample_args, rngs_seed: int = 0):
+def create_cps_state(model, tx, sample_args, rngs_seed: int = 0,
+                     encoder_name=None, encoder_weights=None,
+                     init_weights: bool = False):
     """Init two decorrelated models (the reference re-initialises the two
     decoders/heads with different RNG draws, train_…v2.py:74-80; here the
-    entire trees use independent seeds) and their Adam states."""
+    entire trees use independent seeds) and their Adam states.
+
+    ``encoder_weights``: pretrained tag or .pth path — loaded into BOTH
+    models' encoders (the reference constructs every encoder with
+    ImageNet/SWSL weights, models/encoders/__init__.py:24-29).
+    ``init_weights``: kaiming re-init of decoder + head with per-model keys
+    (reference init_weight, models/__init__.py:7-26) — with a shared
+    pretrained encoder this is what decorrelates the CPS branches."""
     k1, k2 = jax.random.split(jax.random.PRNGKey(rngs_seed))
     v1 = model.init({"params": k1, "dropout": k1}, *sample_args, train=True)
     v2 = model.init({"params": k2, "dropout": k2}, *sample_args, train=True)
+    if encoder_weights:
+        from vq_seg_tpu.utils.torch_weights import apply_pretrained_encoder
+
+        v1 = apply_pretrained_encoder(v1, encoder_name, encoder_weights)
+        v2 = apply_pretrained_encoder(v2, encoder_name, encoder_weights)
+    if init_weights:
+        from vq_seg_tpu.utils.train_tools import reinit_modules
+
+        rk1, rk2 = jax.random.split(jax.random.PRNGKey(rngs_seed + 101))
+        paths = [p for p in (("core", "decoder"), ("decoder",),
+                             ("segmentation_head",), ("segmentation_head_0",),
+                             ("segmentation_head_1",))
+                 if _tree_has_path(v1["params"], p)]
+        v1 = {**v1, "params": reinit_modules(v1["params"], rk1, paths)}
+        v2 = {**v2, "params": reinit_modules(v2["params"], rk2, paths)}
     return CPSTrainState(
         variables_1=v1, variables_2=v2,
         opt_state_1=tx.init(v1["params"]), opt_state_2=tx.init(v2["params"]),
@@ -76,14 +100,26 @@ def create_cps_state(model, tx, sample_args, rngs_seed: int = 0):
     )
 
 
-def cps_init_phase(model, state: CPSTrainState, l_img, l_target, th, seed: int = 0):
+def _tree_has_path(tree, path):
+    for p in path:
+        if not isinstance(tree, dict) or p not in tree:
+            return False
+        tree = tree[p]
+    return True
+
+
+def cps_init_phase(model, state: CPSTrainState, l_img, l_target, th, seed: int = 0,
+                   init_codebook: bool = True):
     """One-time data-dependent init: k-means codebooks + prototypes on the
-    first labeled batch (reference vq_img.py:165-166, prototype.py:829-830)."""
+    first labeled batch (reference vq_img.py:165-166, prototype.py:829-830).
+    ``init_codebook=False`` skips the codebook k-means (pretrained codebooks
+    loaded via load_vqvae_pretrained arrive already initialised)."""
     keys = jax.random.split(jax.random.PRNGKey(seed), 2)
     new_vars = []
     for v, key in zip((state.variables_1, state.variables_2), keys):
         _, mut = model.apply(
-            v, l_img, l_target, th, train=True, init_codebook=True, init_protos=True,
+            v, l_img, l_target, th, train=True, init_codebook=init_codebook,
+            init_protos=True,
             mutable=["params", "batch_stats", "codebook"],
             rngs={"kmeans": key, "dropout": key},
         )
@@ -217,6 +253,41 @@ def unstack_cps_state(state: CPSTrainState):
     return v1, v2
 
 
+def _is_stacked_leaf(x):
+    return hasattr(x, "ndim") and x.ndim > 0 and x.shape[0] == 2
+
+
+def unstack_opt_state(opt_state):
+    """Split the fused stacked-Adam state into per-model (opt_1, opt_2) so
+    checkpoints honor the reference {optimizer_1, optimizer_2} contract
+    (utils/ckpoints.py:7-13).  Adam moments mirror the stacked params (leading
+    axis 2); scalar leaves (step counts) are shared."""
+    o1 = jax.tree_util.tree_map(lambda x: x[0] if _is_stacked_leaf(x) else x, opt_state)
+    o2 = jax.tree_util.tree_map(lambda x: x[1] if _is_stacked_leaf(x) else x, opt_state)
+    return o1, o2
+
+
+def restack_opt_state(template, o1, o2):
+    """Rebuild the fused stacked optimizer state from a per-model pair as
+    restored by orbax (plain containers — positional unflatten into the
+    freshly-initialised template's NamedTuple structure)."""
+    l1 = jax.tree_util.tree_leaves(o1)
+    l2 = jax.tree_util.tree_leaves(o2)
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(l1) != len(t_leaves) or len(l2) != len(t_leaves):
+        return None
+    stacked = []
+    for a, b, t in zip(l1, l2, t_leaves):
+        if _is_stacked_leaf(t):
+            s = jnp.stack([jnp.asarray(a), jnp.asarray(b)])
+        else:
+            s = jnp.asarray(a)
+        if getattr(s, "shape", None) != getattr(t, "shape", None):
+            return None
+        stacked.append(s)
+    return jax.tree_util.tree_unflatten(treedef, stacked)
+
+
 def make_cps_train_step_stacked(model, tx, dice_loss, *, num_classes: int,
                                 confidence_threshold: float = 0.7,
                                 cps_loss_weight: float = 1.0,
@@ -317,13 +388,20 @@ def make_eval_fn(model, num_classes: int):
 
 
 def evaluate(model, variables, loader, pixel_to_label, num_classes: int):
-    """Sweep a test loader for mIoU (the reference's embedded ``test``
-    helper, train_…v2.py:28-41).  Returns mean per-image mIoU."""
+    """Sweep a test loader for mIoU following the OFFICIAL eval protocol
+    (test_detailviz.py:107-145): targets at native resolution, logits
+    bilinearly upsampled to the mask size before argmax — so in-training
+    ``test_every`` curves are comparable to scripts/test.py results.
+    Returns mean per-image mIoU."""
     eval_step = make_eval_fn(model, num_classes)
     total, n = 0.0, 0
     for batch in loader:
         pred = eval_step(variables, jnp.asarray(batch["img"]))
         target = img_to_label(jnp.asarray(batch["target"]), pixel_to_label)
+        if pred.shape[1:3] != target.shape[1:3]:
+            b, _, _, c = pred.shape
+            pred = jax.image.resize(pred, (b,) + target.shape[1:3] + (c,),
+                                    method="bilinear", antialias=False)
         conf = confusion_matrix(pred, target, num_classes=num_classes)
         m, _ = miou(conf)
         total += float(m)
@@ -350,10 +428,13 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     num_epochs = cfg.train.num_epochs
     half = cfg.train.get("half", False)
 
+    # Run-dir + checkpointing are keyed on save_dir alone — the reference
+    # gated BOTH on wandb_logging (train_…v2.py:237-259), a landmine SURVEY.md
+    # §3.1 says not to replicate: logging-off runs silently saved nothing.
     logger = None
     save_dir = ckpoints_dir = img_dir = None
     log_txt = None
-    if cfg.wandb_logging:
+    if cfg.train.get("save_dir"):
         os.makedirs(cfg.train.save_dir, exist_ok=True)
         logger_name = cfg.project_name + "_hybrid_" + str(len(os.listdir(cfg.train.save_dir)))
         save_dir = os.path.join(cfg.train.save_dir, logger_name)
@@ -364,8 +445,12 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
             img_dir = os.path.join(save_dir, "imgs")
             os.mkdir(img_dir)
         log_txt = open(os.path.join(save_dir, "log_txt"), "w")
-        logger = Logger(cfg, logger_name, offline_dir=save_dir)
+        if cfg.wandb_logging:
+            logger = Logger(cfg, logger_name, offline_dir=save_dir)
 
+    from vq_seg_tpu.models.layers import set_decoder_bn_overrides
+
+    set_decoder_bn_overrides(cfg.train.get("bn_eps"), cfg.train.get("bn_momentum"))
     model = make_model(cfg.model)
 
     sup_dataset = BaseDataset(os.path.join(cfg.train.data_dir, "train"), "labelled",
@@ -377,14 +462,28 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
         from vq_seg_tpu.parallel import shard_batch_fn
 
         device_put = shard_batch_fn(mesh)
-    sup_loader = Loader(sup_dataset, batch_size, shuffle=True, seed=0, device_put=device_put)
-    unsup_loader = Loader(unsup_dataset, batch_size, shuffle=True, seed=1, device_put=device_put)
+    # workers=4 parallelises the cold-epoch PNG decode; the RAM cache then
+    # serves epochs 2..400 at memory speed (tools/loader_bench.py: ~4 img/s
+    # cold vs >=70 img/s cached at native CWFID resolution)
+    sup_loader = Loader(sup_dataset, batch_size, shuffle=True, seed=0,
+                        device_put=device_put, workers=4)
+    unsup_loader = Loader(unsup_dataset, batch_size, shuffle=True, seed=1,
+                          device_put=device_put, workers=4)
     steps_per_epoch = len(unsup_loader)
     if max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
 
     schedule = make_lr_schedule(cfg.train, len(unsup_loader))
     tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    accum = int(cfg.train.get("grad_accum_steps", 1) or 1)
+    if accum > 1:
+        # gradient accumulation: k micro-batches per optimizer step (the
+        # effective batch grows k-fold without the HBM cost)
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    if cfg.train.get("debug_nans"):
+        from vq_seg_tpu.utils.debug import enable_nan_debug
+
+        enable_nan_debug()
     dice = make_loss(cfg.train.criterion.name, num_classes, ignore_index=255,
                      weight=cfg.train.criterion.get("weight"))
     th = cfg.train.confidence_threshold
@@ -392,13 +491,18 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
     sample_x = jnp.zeros((batch_size, resize, resize, 3))
     sample_gt = jnp.zeros((batch_size, resize, resize), jnp.int32)
-    state = create_cps_state(model, tx, (sample_x, sample_gt, th))
+    state = create_cps_state(
+        model, tx, (sample_x, sample_gt, th),
+        encoder_name=cfg.model.params.get("encoder_name"),
+        encoder_weights=cfg.model.params.get("encoder_weights"),
+        init_weights=bool(cfg.train.get("init_weights", False)))
 
     train_step = make_cps_train_step_stacked(
         model, tx, dice, num_classes=num_classes, confidence_threshold=th,
         cps_loss_weight=cfg.train.cps_loss_weight,
         commitment_loss_weight=cfg.train.total_commitment_loss_weight,
         prototype_loss_weight=cfg.train.total_prototype_loss_weight,
+        ce_weight=cfg.train.criterion.get("weight"),
         # bf16 activations halve HBM pressure enough to skip remat (measured
         # 39 vs 24 img/s at 512^2 bs4); f32 needs it to fit a v5e
         remat=cfg.train.get("remat", not half),
@@ -416,16 +520,24 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
         state = state.replace(variables_1=ck["model_1"], variables_2=ck["model_2"])
         state = stack_cps_state(state, tx)
         if ck.get("optimizer_1") is not None:
-            # orbax restores the optax NamedTuple state as plain containers —
-            # rebuild it into a freshly-initialised template's structure
+            # checkpoints store the reference per-model {optimizer_1,
+            # optimizer_2} pair (fused-only in older round-1 checkpoints) —
+            # orbax restores plain containers, so rebuild into the fresh
+            # template's NamedTuple structure
             template = state.opt_state_1
-            leaves = jax.tree_util.tree_leaves(ck["optimizer_1"])
-            t_leaves, treedef = jax.tree_util.tree_flatten(template)
-            if len(leaves) == len(t_leaves) and all(
-                    getattr(a, "shape", None) == getattr(b, "shape", None)
-                    for a, b in zip(leaves, t_leaves)):
-                state = state.replace(
-                    opt_state_1=jax.tree_util.tree_unflatten(treedef, leaves))
+            restored = None
+            if ck.get("optimizer_2") is not None:
+                restored = restack_opt_state(template, ck["optimizer_1"],
+                                             ck["optimizer_2"])
+            else:
+                leaves = jax.tree_util.tree_leaves(ck["optimizer_1"])
+                t_leaves, treedef = jax.tree_util.tree_flatten(template)
+                if len(leaves) == len(t_leaves) and all(
+                        getattr(a, "shape", None) == getattr(b, "shape", None)
+                        for a, b in zip(leaves, t_leaves)):
+                    restored = jax.tree_util.tree_unflatten(treedef, leaves)
+            if restored is not None:
+                state = state.replace(opt_state_1=restored)
             else:
                 print("resume: optimizer state structure mismatch — "
                       "continuing with fresh Adam moments")
@@ -437,8 +549,10 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
 
     test_loader = None
     if cfg.get("test") and cfg.train.get("test_every"):
+        # official protocol: inputs resized, targets at NATIVE resolution
+        # (test_detailviz.py:54-55 uses target_resize=False)
         test_dataset = BaseDataset(os.path.join(cfg.test.data_dir, "test"), "labelled",
-                                   batch_size=1, resize=cfg.resize)
+                                   batch_size=1, resize=cfg.resize, target_resize=False)
         test_loader = Loader(test_dataset, 1, shuffle=False)
 
     from vq_seg_tpu.models.layers import compute_dtype
@@ -484,31 +598,34 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                 print(f"test miou : {test_miou}")
                 if logger is not None:
                     logger.log_dict["test_miou"] = test_miou
-            if logger is not None:
+            if log_txt is not None:
                 log_txt.write(print_txt + "\n")
+            if save_dir is not None:
                 example = visualize.make_example_img(
                     np.asarray(l_input), np.asarray(l_target), np.asarray(pred_sup_1),
                     np.asarray(ul_input), np.asarray(pred_ul_1))
-                logger.image_update(example, f"{epoch}ep")
+                if logger is not None:
+                    logger.image_update(example, f"{epoch}ep")
                 if cfg.train.save_img:
                     visualize.save_img(img_dir, f"output_{epoch}ep.png", example)
                 v1_ck, v2_ck = unstack_cps_state(state)
+                o1_ck, o2_ck = unstack_opt_state(state.opt_state_1)
                 if epoch % 10 == 0:
-                    save_ckpoints(v1_ck, v2_ck, epoch, batch_idx,
-                                  state.opt_state_1, None,
+                    save_ckpoints(v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
                                   os.path.join(ckpoints_dir, f"{epoch}ep.ckpt"))
-                save_ckpoints(v1_ck, v2_ck, epoch, batch_idx,
-                              state.opt_state_1, None,
+                save_ckpoints(v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
                               os.path.join(ckpoints_dir, "last.ckpt"))
+            if logger is not None:
                 logger.log_dict.update({k: float(v) for k, v in avg.items()})
                 logger.log_dict.update(dict(back_iou=back_iou, weed_iou=weed_iou,
                                             crop_iou=crop_iou, learning_rate=lr))
                 logger.temp_update(list_to_separate_log(code_usage, "code_usage"))
                 logger.logging(epoch=epoch)
                 logger.config_update()
-    if logger is not None:
+    if log_txt is not None:
         log_txt.close()
+    if logger is not None:
         logger.finish()
-    if cfg.wandb_logging and cfg.train.get("save_as_tar", False):
+    if save_dir is not None and cfg.train.get("save_as_tar", False):
         save_tar(save_dir)
     return state

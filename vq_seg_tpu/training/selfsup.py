@@ -69,7 +69,8 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None):
     state = create_state(model, tx, (sample,))
     step = make_selfsup_train_step(model, tx)
     ckpt_dir = None
-    if cfg.wandb_logging:
+    if cfg.train.get("save_dir"):
+        # keyed on save_dir, not wandb_logging (SURVEY.md §3.1 landmine)
         ckpt_dir = os.path.join(cfg.train.save_dir, "selfsup_ckpoints")
         os.makedirs(ckpt_dir, exist_ok=True)
     initted = False

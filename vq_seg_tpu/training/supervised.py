@@ -47,7 +47,9 @@ def init_phase(model, state: TrainState, args, seed: int = 0):
     """Data-dependent init (kmeans codebooks/prototypes).  Nets without those
     phases (plain unet, deeplab, ...) simply don't accept the kwargs — the
     signature TypeError is raised before any tracing, so falling through is
-    safe (unlike in-trace try/except)."""
+    safe (unlike in-trace try/except).  Only TypeErrors naming the probed
+    kwargs are swallowed; a positional-arg mismatch (wrong forward_mode for
+    the net) re-raises instead of silently skipping k-means init."""
     key = jax.random.PRNGKey(seed)
     for kwargs in ({"init_codebook": True, "init_protos": True},
                    {"init_codebook": True}, None):
@@ -58,8 +60,30 @@ def init_phase(model, state: TrainState, args, seed: int = 0):
                                  mutable=["params", "batch_stats", "codebook"],
                                  rngs={"kmeans": key, "dropout": key})
             return state.replace(variables={**state.variables, **mut})
-        except TypeError:
-            continue
+        except TypeError as e:
+            if any(k in str(e) for k in kwargs):
+                continue
+            raise
+
+
+# forward-signature families across the registry (SURVEY.md §2.4): nets
+# taking (x), (x, gt), or (x, gt, percent-or-th).  Names absent from both
+# sets default to gt_extra (the prototype-loss family's common signature).
+PLAIN_NETS = ("unet", "unetoriginal", "vqunet_v1", "vqunet_v2", "vqpatchunet",
+              "vqatunet", "vqcanet", "vqcanetv2", "vqcanetv3", "vqcanetv4",
+              "drsavqunet", "vqimdbnet", "vqsegheadnet", "deeplabv3",
+              "deeplabv3plus", "fcn32s", "VQUnetwithSalientloss", "vqvaev2",
+              "vqvaev1")
+GT_ONLY_NETS = ("vqptunet", "vqeuptunet", "vqnedptunet", "vqashunet",
+                "vqashunetv2")
+
+
+def sup_forward_mode(name: str) -> str:
+    if name in PLAIN_NETS:
+        return "plain"
+    if name in GT_ONLY_NETS:
+        return "gt"
+    return "gt_extra"
 
 
 def make_sup_train_step(model, tx, dice_loss, *, num_classes: int,
@@ -124,6 +148,9 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     num_epochs = cfg.train.num_epochs
     half = cfg.train.get("half", False)
 
+    from vq_seg_tpu.models.layers import set_decoder_bn_overrides
+
+    set_decoder_bn_overrides(cfg.train.get("bn_eps"), cfg.train.get("bn_momentum"))
     model = make_model(cfg.model)
     dataset = BaseDataset(os.path.join(cfg.train.data_dir, "train"), "labelled",
                           batch_size=batch_size, resize=cfg.resize)
@@ -146,26 +173,31 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     sample_x = jnp.zeros((batch_size, resize, resize, 3))
     sample_gt = jnp.zeros((batch_size, resize, resize), jnp.int32)
     name = cfg.model.name
-    plain_nets = ("unet", "unetoriginal", "vqunet_v1", "vqunet_v2", "vqpatchunet",
-                  "vqatunet", "vqcanet", "vqcanetv2", "vqcanetv3", "vqcanetv4",
-                  "drsavqunet", "vqimdbnet", "vqsegheadnet", "deeplabv3",
-                  "deeplabv3plus", "fcn32s")
-    needs_extra = name not in plain_nets
-    forward_mode = "gt_extra" if needs_extra else "plain"
+    forward_mode = sup_forward_mode(name)
+    needs_extra = forward_mode == "gt_extra"
     drop = cfg.train.get("unsup_loss_drop_percent", 80.0)
-    state = create_state(model, tx, (sample_x, sample_gt, 100.0) if needs_extra
-                         else (sample_x,))
+    sample_args = {"plain": (sample_x,), "gt": (sample_x, sample_gt),
+                   "gt_extra": (sample_x, sample_gt, 100.0)}[forward_mode]
+    state = create_state(model, tx, sample_args)
+    if cfg.model.params.get("encoder_weights"):
+        from vq_seg_tpu.utils.torch_weights import apply_pretrained_encoder
+
+        state = state.replace(variables=apply_pretrained_encoder(
+            state.variables, cfg.model.params.get("encoder_name"),
+            cfg.model.params.get("encoder_weights")))
 
     train_step = make_sup_train_step(model, tx, dice, num_classes=num_classes,
+                                     ce_weight=cfg.train.criterion.get("weight"),
                                      forward_mode=forward_mode)
     save_dir = None
     logger = None
-    if cfg.wandb_logging:
+    if cfg.train.get("save_dir"):
         os.makedirs(cfg.train.save_dir, exist_ok=True)
         logger_name = cfg.project_name + "_sup_" + str(len(os.listdir(cfg.train.save_dir)))
         save_dir = os.path.join(cfg.train.save_dir, logger_name)
         os.makedirs(os.path.join(save_dir, "ckpoints"), exist_ok=True)
-        logger = Logger(cfg, logger_name, offline_dir=save_dir)
+        if cfg.wandb_logging:
+            logger = Logger(cfg, logger_name, offline_dir=save_dir)
 
     from vq_seg_tpu.models.layers import compute_dtype
 
@@ -183,10 +215,9 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                 img = jnp.asarray(batch["img"])
                 target = img_to_label(jnp.asarray(batch["target"]), cfg.pixel_to_label)
                 if not initted:
-                    if needs_extra:
-                        state = init_phase(model, state, (img, target, drop_percent))
-                    else:
-                        state = init_phase(model, state, (img,))
+                    init_args = {"plain": (img,), "gt": (img, target),
+                                 "gt_extra": (img, target, drop_percent)}[forward_mode]
+                    state = init_phase(model, state, init_args)
                     initted = True
                 extra = jnp.float32(drop_percent) if needs_extra else None
                 state, metrics, pred = train_step(state, img, target, extra)
@@ -199,6 +230,7 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
             if logger is not None:
                 logger.log_dict.update({k: float(v) for k, v in avg.items()})
                 logger.logging(epoch=epoch)
+            if save_dir is not None:
                 _save_tree(os.path.join(save_dir, "ckpoints", "last.ckpt"),
                            {"model_1": state.variables, "epoch": epoch})
     return state

@@ -1,0 +1,388 @@
+"""Epoch-loop drivers for the reference's variant trainer envelope
+(SURVEY.md §2.8: the deprecated/ trainer zoo), making every jitted step in
+``training/variants.py`` reachable from the CLI:
+
+  * ``train_plain_cps``   — deprecated/train_CPS.py:139-178 (two models,
+    CE on each other's argmax pseudo-labels, no VQ losses in the objective)
+  * ``train_unimatch``    — deprecated/train_UniMatch.py:158-190 (one model,
+    teacher pass + 2 CutMix views + feature-perturbation view)
+  * ``train_salient_cps`` — deprecated/train_salient_loss.py:120-161 (CPS +
+    MSE auxiliary saliency decoders)
+  * ``train_vqpt_cps``    — deprecated/train_vq_pt_unet.py:48-200 +
+    train_only_decoder.py:53-57: the (x, gt)-signature prototype nets, with
+    optional ``cfg.train.pretrained.{encoder,codebook}`` loading
+    (load_vqvae_pretrained) and encoder freezing (freeze_encoder_tx) — the
+    selfsup-pretrain -> frozen-encoder CPS flow.
+
+All share the reference epoch pairing (zip(cycle(sup), unsup); epoch length
+= len(unsup_loader)) and the run-dir/checkpoint layout.  Checkpoints save
+whenever save_dir is set (not gated on wandb — SURVEY.md §3.1 landmine).
+"""
+from __future__ import annotations
+
+import os
+import time
+from itertools import cycle
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vq_seg_tpu.losses import make_loss
+from vq_seg_tpu.models.networks import make_model
+from vq_seg_tpu.training.cps import CPSTrainState, evaluate
+from vq_seg_tpu.training.schedules import make_lr_schedule
+from vq_seg_tpu.training.supervised import TrainState, init_phase
+from vq_seg_tpu.training.variants import (
+    make_plain_cps_train_step,
+    make_salient_cps_train_step,
+    make_unimatch_train_step,
+    make_vqpt_cps_train_step,
+)
+from vq_seg_tpu.utils.seg_tools import img_to_label
+
+
+def _setup(cfg, tag):
+    """Common preamble: seed, BN overrides, run dir.  Returns (save_dir,
+    ckpoints_dir, log_txt, logger)."""
+    from vq_seg_tpu.models.layers import set_decoder_bn_overrides
+    from vq_seg_tpu.utils.logger import Logger
+    from vq_seg_tpu.utils.seed import seed_everything
+
+    seed_everything()
+    set_decoder_bn_overrides(cfg.train.get("bn_eps"), cfg.train.get("bn_momentum"))
+    save_dir = ckpoints_dir = None
+    log_txt = None
+    logger = None
+    if cfg.train.get("save_dir"):
+        os.makedirs(cfg.train.save_dir, exist_ok=True)
+        name = cfg.project_name + f"_{tag}_" + str(len(os.listdir(cfg.train.save_dir)))
+        save_dir = os.path.join(cfg.train.save_dir, name)
+        ckpoints_dir = os.path.join(save_dir, "ckpoints")
+        os.makedirs(ckpoints_dir)
+        log_txt = open(os.path.join(save_dir, "log_txt"), "w")
+        if cfg.wandb_logging:
+            logger = Logger(cfg, name, offline_dir=save_dir)
+    return save_dir, ckpoints_dir, log_txt, logger
+
+
+def _semi_loaders(cfg):
+    from vq_seg_tpu.data import BaseDataset, Loader
+
+    root = os.path.join(cfg.train.data_dir, "train")
+    bs = cfg.train.batch_size
+    sup = BaseDataset(root, "labelled", batch_size=bs, resize=cfg.resize)
+    unsup = BaseDataset(root, "unlabelled", batch_size=bs, resize=cfg.resize)
+    return (Loader(sup, bs, shuffle=True, seed=0),
+            Loader(unsup, bs, shuffle=True, seed=1))
+
+
+def _test_loader(cfg):
+    from vq_seg_tpu.data import BaseDataset, Loader
+
+    if not (cfg.get("test") and cfg.train.get("test_every")):
+        return None
+    ds = BaseDataset(os.path.join(cfg.test.data_dir, "test"), "labelled",
+                     batch_size=1, resize=cfg.resize, target_resize=False)
+    return Loader(ds, 1, shuffle=False)
+
+
+def _epoch_summary(tag, epoch, sums, n, t0, log_txt, logger):
+    avg = {k: v / n for k, v in sums.items()}
+    avg.pop("iou_list", None)
+    avg = {k: float(np.mean(v)) for k, v in avg.items()}
+    line = (f"[{tag}][Epoch{epoch}] "
+            + ", ".join(f"{k}={v:.4f}" for k, v in avg.items())
+            + f", {time.time() - t0:.1f}s")
+    print(line)
+    if log_txt is not None:
+        log_txt.write(line + "\n")
+    if logger is not None:
+        logger.log_dict.update(avg)
+        logger.logging(epoch=epoch)
+    return avg
+
+
+def _finish(log_txt, logger):
+    if log_txt is not None:
+        log_txt.close()
+    if logger is not None:
+        logger.finish()
+
+
+def _dual_state(model, tx, sample_args, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    v1 = model.init({"params": k1, "dropout": k1}, *sample_args, train=True)
+    v2 = model.init({"params": k2, "dropout": k2}, *sample_args, train=True)
+    return CPSTrainState(variables_1=v1, variables_2=v2,
+                         opt_state_1=tx.init(v1["params"]),
+                         opt_state_2=tx.init(v2["params"]),
+                         step=jnp.zeros((), jnp.int32))
+
+
+def _apply_encoder_weights(cfg, variables):
+    ew = cfg.model.params.get("encoder_weights")
+    if not ew:
+        return variables
+    from vq_seg_tpu.utils.torch_weights import apply_pretrained_encoder
+
+    return apply_pretrained_encoder(variables, cfg.model.params.get("encoder_name"), ew)
+
+
+def _save_dual(ckpoints_dir, state, epoch, batch_idx, every=10):
+    from vq_seg_tpu.utils.ckpoints import save_ckpoints
+
+    if ckpoints_dir is None:
+        return
+    if epoch % every == 0:
+        save_ckpoints(state.variables_1, state.variables_2, epoch, batch_idx,
+                      state.opt_state_1, state.opt_state_2,
+                      os.path.join(ckpoints_dir, f"{epoch}ep.ckpt"))
+    save_ckpoints(state.variables_1, state.variables_2, epoch, batch_idx,
+                  state.opt_state_1, state.opt_state_2,
+                  os.path.join(ckpoints_dir, "last.ckpt"))
+
+
+def train_plain_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+    """Plain CPS driver (deprecated/train_CPS.py).  Works for any plain-
+    forward net (cps_vqv2* configs use vqunet_v2)."""
+    save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "plaincps")
+    model = make_model(cfg.model)
+    sup_loader, unsup_loader = _semi_loaders(cfg)
+    steps = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample = jnp.zeros((cfg.train.batch_size, resize, resize, 3))
+    state = _dual_state(model, tx, (sample,))
+    state = state.replace(variables_1=_apply_encoder_weights(cfg, state.variables_1),
+                          variables_2=_apply_encoder_weights(cfg, state.variables_2))
+    step = make_plain_cps_train_step(
+        model, tx, num_classes=cfg.num_classes,
+        cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
+        ce_weight=cfg.train.criterion.get("weight"))
+    test_loader = _test_loader(cfg)
+
+    initted = False
+    for epoch in range(cfg.train.num_epochs):
+        it = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+        sums: dict = {}
+        t0 = time.time()
+        for batch_idx in range(steps):
+            sup_d, unsup_d = next(it)
+            l_img = jnp.asarray(sup_d["img"])
+            l_tgt = img_to_label(jnp.asarray(sup_d["target"]), cfg.pixel_to_label)
+            ul_img = jnp.asarray(unsup_d["img"])
+            if not initted:
+                state = state.replace(
+                    variables_1=init_phase(model, TrainState(state.variables_1, None, 0),
+                                           (l_img,), seed=0).variables,
+                    variables_2=init_phase(model, TrainState(state.variables_2, None, 0),
+                                           (l_img,), seed=1).variables)
+                initted = True
+            state, metrics = step(state, l_img, l_tgt, ul_img)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v)
+        _epoch_summary("plaincps", epoch, sums, steps, t0, log_txt, logger)
+        if test_loader is not None and epoch % cfg.train.test_every == 0:
+            tm = evaluate(model, state.variables_1, test_loader,
+                          cfg.pixel_to_label, cfg.num_classes)
+            print(f"test miou : {tm}")
+        _save_dual(ckpoints_dir, state, epoch, steps - 1)
+    _finish(log_txt, logger)
+    return state
+
+
+def train_unimatch(cfg, max_steps_per_epoch: Optional[int] = None):
+    """UniMatch driver (deprecated/train_UniMatch.py:100-200): single model
+    (registry 'unimatch'), confidence threshold 0.95, CutMix views."""
+    save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "unimatch")
+    model = make_model(cfg.model)
+    sup_loader, unsup_loader = _semi_loaders(cfg)
+    steps = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample = jnp.zeros((cfg.train.batch_size, resize, resize, 3))
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, sample, train=True)
+    variables = _apply_encoder_weights(cfg, variables)
+    state = TrainState(variables=variables, opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_unimatch_train_step(
+        model, tx, num_classes=cfg.num_classes,
+        confidence_threshold=cfg.train.get("confidence_threshold", 0.95),
+        ce_weight=cfg.train.criterion.get("weight"))
+    test_loader = _test_loader(cfg)
+
+    from vq_seg_tpu.utils.ckpoints import _save_tree
+
+    rng = jax.random.PRNGKey(cfg.train.get("seed", 0))
+    for epoch in range(cfg.train.num_epochs):
+        it = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+        sums: dict = {}
+        t0 = time.time()
+        for batch_idx in range(steps):
+            sup_d, unsup_d = next(it)
+            l_img = jnp.asarray(sup_d["img"])
+            l_tgt = img_to_label(jnp.asarray(sup_d["target"]), cfg.pixel_to_label)
+            ul_img = jnp.asarray(unsup_d["img"])
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, l_img, l_tgt, ul_img, sub)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v)
+        _epoch_summary("unimatch", epoch, sums, steps, t0, log_txt, logger)
+        if test_loader is not None and epoch % cfg.train.test_every == 0:
+            tm = evaluate(model, state.variables, test_loader,
+                          cfg.pixel_to_label, cfg.num_classes)
+            print(f"test miou : {tm}")
+        if ckpoints_dir is not None:
+            _save_tree(os.path.join(ckpoints_dir, "last.ckpt"),
+                       {"model_1": state.variables, "epoch": epoch,
+                        "optimizer_1": state.opt_state})
+    _finish(log_txt, logger)
+    return state
+
+
+def train_salient_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+    """Salient-loss CPS driver (deprecated/train_salient_loss.py): two
+    VQUnetwithSalientloss models + precomputed saliency maps from
+    ``cfg.train.salient_dir``."""
+    from vq_seg_tpu.data import Loader, SalientDataset
+
+    save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "salientcps")
+    model = make_model(cfg.model)
+    root = os.path.join(cfg.train.data_dir, "train")
+    salient_dir = cfg.train.salient_dir
+    bs = cfg.train.batch_size
+    sup_loader = Loader(SalientDataset(root, salient_dir, "labelled", resize=cfg.resize),
+                        bs, shuffle=True, seed=0)
+    unsup_loader = Loader(SalientDataset(root, salient_dir, "unlabelled", resize=cfg.resize),
+                          bs, shuffle=True, seed=1)
+    steps = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample = jnp.zeros((bs, resize, resize, 3))
+    state = _dual_state(model, tx, (sample,))
+    state = state.replace(variables_1=_apply_encoder_weights(cfg, state.variables_1),
+                          variables_2=_apply_encoder_weights(cfg, state.variables_2))
+    step = make_salient_cps_train_step(
+        model, tx, num_classes=cfg.num_classes,
+        cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
+        commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
+        auxiliary_loss_weight=cfg.train.get("auxiliary_loss_weight", 1.0),
+        ce_weight=cfg.train.criterion.get("weight"))
+
+    initted = False
+    for epoch in range(cfg.train.num_epochs):
+        it = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+        sums: dict = {}
+        t0 = time.time()
+        for batch_idx in range(steps):
+            sup_d, unsup_d = next(it)
+            l_img = jnp.asarray(sup_d["img"])
+            l_tgt = img_to_label(jnp.asarray(sup_d["target"]), cfg.pixel_to_label)
+            l_sal = jnp.asarray(sup_d["salient_map"])
+            ul_img = jnp.asarray(unsup_d["img"])
+            ul_sal = jnp.asarray(unsup_d["salient_map"])
+            if not initted:
+                state = state.replace(
+                    variables_1=init_phase(model, TrainState(state.variables_1, None, 0),
+                                           (l_img,), seed=0).variables,
+                    variables_2=init_phase(model, TrainState(state.variables_2, None, 0),
+                                           (l_img,), seed=1).variables)
+                initted = True
+            state, metrics = step(state, l_img, l_tgt, l_sal, ul_img, ul_sal)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v)
+        _epoch_summary("salientcps", epoch, sums, steps, t0, log_txt, logger)
+        _save_dual(ckpoints_dir, state, epoch, steps - 1)
+    _finish(log_txt, logger)
+    return state
+
+
+def train_vqpt_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+    """CPS for the (x, gt)-signature prototype nets (vqptunet / vqeuptunet /
+    vqnedptunet), with the VQ-VAE-pretrained frozen-encoder flow when
+    ``cfg.train.pretrained.{encoder,codebook}`` is set
+    (deprecated/train_vq_pt_unet.py + train_only_decoder.py:53-57)."""
+    save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "vqpt")
+    model = make_model(cfg.model)
+    sup_loader, unsup_loader = _semi_loaders(cfg)
+    steps = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    pretrained = cfg.train.get("pretrained")
+    if pretrained:
+        from vq_seg_tpu.utils.train_tools import freeze_encoder_tx
+
+        tx = freeze_encoder_tx(tx)
+    criterion = make_loss(cfg.train.criterion.name, cfg.num_classes, ignore_index=255,
+                          weight=cfg.train.criterion.get("weight"))
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample_x = jnp.zeros((cfg.train.batch_size, resize, resize, 3))
+    sample_gt = jnp.zeros((cfg.train.batch_size, resize, resize), jnp.int32)
+    state = _dual_state(model, tx, (sample_x, sample_gt))
+    if pretrained:
+        from vq_seg_tpu.utils.ckpoints import load_vqvae_pretrained
+
+        v1 = load_vqvae_pretrained(state.variables_1, pretrained.encoder, pretrained.codebook)
+        v2 = load_vqvae_pretrained(state.variables_2, pretrained.encoder, pretrained.codebook)
+        state = state.replace(variables_1=v1, variables_2=v2,
+                              opt_state_1=tx.init(v1["params"]),
+                              opt_state_2=tx.init(v2["params"]))
+    else:
+        state = state.replace(variables_1=_apply_encoder_weights(cfg, state.variables_1),
+                              variables_2=_apply_encoder_weights(cfg, state.variables_2))
+    step = make_vqpt_cps_train_step(
+        model, tx, criterion, num_classes=cfg.num_classes,
+        cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
+        commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
+        prototype_loss_weight=cfg.train.get("total_prototype_loss_weight", 0.01))
+    test_loader = _test_loader(cfg)
+
+    initted = False
+    for epoch in range(cfg.train.num_epochs):
+        it = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+        sums: dict = {}
+        t0 = time.time()
+        for batch_idx in range(steps):
+            sup_d, unsup_d = next(it)
+            l_img = jnp.asarray(sup_d["img"])
+            l_tgt = img_to_label(jnp.asarray(sup_d["target"]), cfg.pixel_to_label)
+            ul_img = jnp.asarray(unsup_d["img"])
+            if not initted:
+                # skip codebook kmeans when pretrained codebooks were loaded
+                kw = ({"init_protos": True} if pretrained
+                      else {"init_codebook": True, "init_protos": True})
+                new_vars = []
+                for v, seed in ((state.variables_1, 0), (state.variables_2, 1)):
+                    k = jax.random.PRNGKey(seed)
+                    _, mut = model.apply(v, l_img, l_tgt, train=True, **kw,
+                                         mutable=["params", "batch_stats", "codebook"],
+                                         rngs={"kmeans": k, "dropout": k})
+                    new_vars.append({**v, **mut})
+                state = state.replace(variables_1=new_vars[0], variables_2=new_vars[1])
+                initted = True
+            state, metrics = step(state, l_img, l_tgt, ul_img)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v)
+        _epoch_summary("vqpt", epoch, sums, steps, t0, log_txt, logger)
+        if test_loader is not None and epoch % cfg.train.test_every == 0:
+            tm = evaluate(model, state.variables_1, test_loader,
+                          cfg.pixel_to_label, cfg.num_classes)
+            print(f"test miou : {tm}")
+        _save_dual(ckpoints_dir, state, epoch, steps - 1)
+    _finish(log_txt, logger)
+    return state

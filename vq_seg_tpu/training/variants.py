@@ -144,6 +144,72 @@ def make_unimatch_train_step(model, tx, *, num_classes: int,
     return step
 
 
+def make_vqpt_cps_train_step(model, tx, criterion, *, num_classes: int,
+                             cps_loss_weight: float = 1.0,
+                             commitment_loss_weight: float = 1.0,
+                             prototype_loss_weight: float = 0.01):
+    """VQPTUnet-family CPS (deprecated/train_vq_pt_unet.py:104-160): the
+    nets take (x, gt) — no confidence threshold.  Pseudo-labels come from a
+    detached argmax pass (``pseudo_label``, unet/net.py:228-232) and feed the
+    OTHER model's prototype loss as int labels; cps loss is the configured
+    criterion (dice in vq_pt_unet.json) on post-hoc argmax pseudo-labels."""
+
+    def fwd(variables, x, gt):
+        (pred, commit, usage, proto), mut = model.apply(
+            variables, x, gt, train=True, mutable=["batch_stats"])
+        return (pred, commit, usage, proto), {**variables, "batch_stats": mut["batch_stats"]}
+
+    def loss_fn(p1, p2, state, l_img, l_target, ul_img):
+        v1 = {**state.variables_1, "params": p1}
+        v2 = {**state.variables_2, "params": p2}
+        # pseudo_label: eval-mode forward + argmax, detached
+        pl_1 = jax.lax.stop_gradient(
+            jnp.argmax(model.apply(v1, ul_img, train=False)[0], -1))
+        pl_2 = jax.lax.stop_gradient(
+            jnp.argmax(model.apply(v2, ul_img, train=False)[0], -1))
+
+        (pred_sup_1, c_l1, u_l1, pt_l1), v1 = fwd(v1, l_img, l_target)
+        (pred_sup_2, c_l2, u_l2, pt_l2), v2 = fwd(v2, l_img, l_target)
+        (pred_ul_1, c_ul1, u_ul1, pt_ul1), v1 = fwd(v1, ul_img, pl_2)
+        (pred_ul_2, c_ul2, u_ul2, pt_ul2), v2 = fwd(v2, ul_img, pl_1)
+
+        pred_1 = jnp.concatenate([pred_sup_1, pred_ul_1], 0)
+        pred_2 = jnp.concatenate([pred_sup_2, pred_ul_2], 0)
+        pseudo_1 = jax.lax.stop_gradient(jnp.argmax(pred_1, -1))
+        pseudo_2 = jax.lax.stop_gradient(jnp.argmax(pred_2, -1))
+        cps = criterion(pred_1, pseudo_2) + criterion(pred_2, pseudo_1)
+        sup_1 = criterion(pred_sup_1, l_target)
+        sup_2 = criterion(pred_sup_2, l_target)
+        commit = (c_l1 + c_l2 + c_ul1 + c_ul2) * commitment_loss_weight
+        proto = (pt_l1 + pt_l2 + pt_ul1 + pt_ul2) * prototype_loss_weight
+        loss = sup_1 + sup_2 + cps_loss_weight * cps + commit + proto
+        code_usage = (u_l1 + u_l2 + u_ul1 + u_ul2) / 4.0
+        conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        return loss, dict(batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
+                          metrics=dict(loss=loss, cps_loss=cps, sup_loss_1=sup_1,
+                                       sup_loss_2=sup_2, commitment_loss=commit,
+                                       prototype_loss=proto, code_usage=code_usage,
+                                       miou=m, iou_list=iou_list))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: CPSTrainState, l_img, l_target, ul_img):
+        (p1, _), (p2, _) = _split(state.variables_1), _split(state.variables_2)
+        (g1, g2), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            p1, p2, state, l_img, l_target, ul_img)
+        u1, o1 = tx.update(g1, state.opt_state_1, p1)
+        u2, o2 = tx.update(g2, state.opt_state_2, p2)
+        return state.replace(
+            variables_1={**state.variables_1, "params": optax.apply_updates(p1, u1),
+                         "batch_stats": aux["batch_stats_1"]},
+            variables_2={**state.variables_2, "params": optax.apply_updates(p2, u2),
+                         "batch_stats": aux["batch_stats_2"]},
+            opt_state_1=o1, opt_state_2=o2, step=state.step + 1,
+        ), aux["metrics"]
+
+    return step
+
+
 def make_salient_cps_train_step(model, tx, *, num_classes: int,
                                 cps_loss_weight: float = 1.0,
                                 commitment_loss_weight: float = 1.0,

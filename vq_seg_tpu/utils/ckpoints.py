@@ -120,7 +120,28 @@ def load_vqvae_pretrained(variables, encoder_ckpt: str, codebook_ckpt: str,
     if "batch_stats" in enc and "batch_stats" in variables:
         subtree(variables["batch_stats"]).update(enc["batch_stats"])
     if cbs and "codebook" in variables:
-        for k, v in cbs.items():
-            if k in variables["codebook"]:
-                variables["codebook"][k] = v
+        # codebooks live under the net's own scope (e.g. core/VectorQuantizer_i
+        # in the U-Nets, top-level in the VQ-VAE) — locate the node whose keys
+        # match the saved codebook names
+        def find_host(tree):
+            if isinstance(tree, dict):
+                if any(k in tree for k in cbs):
+                    return tree
+                for v in tree.values():
+                    found = find_host(v) if isinstance(v, dict) else None
+                    if found is not None:
+                        return found
+            return None
+
+        host = find_host(variables["codebook"])
+        if host is None:
+            import warnings
+
+            warnings.warn("pretrained codebook names do not match any subtree "
+                          "of the target net's codebook collection — skipped",
+                          stacklevel=2)
+        else:
+            for k, v in cbs.items():
+                if k in host:
+                    host[k] = v
     return variables

@@ -14,9 +14,18 @@ Usage:
 """
 from __future__ import annotations
 
-from typing import Mapping, Sequence, Tuple
+import os
+import warnings
+from typing import Mapping, Optional, Sequence, Tuple
 
 import numpy as np
+
+# Local cache searched for converted/downloaded reference checkpoints.  The
+# reference fetches `PRETRAINED_URLS[name][tag]` via model_zoo
+# (models/encoders/__init__.py:24-29); with zero egress we resolve the same
+# (encoder, tag) pair against files the user placed here (or a direct path).
+PRETRAINED_DIR_ENV = "VQ_SEG_PRETRAINED_DIR"
+DEFAULT_PRETRAINED_DIR = os.path.expanduser("~/.cache/vq_seg_tpu/pretrained")
 
 
 def _set(tree: dict, path: Sequence[str], value):
@@ -107,6 +116,70 @@ def _deep_update(dst, src):
             _deep_update(dst[k], v)
         else:
             dst[k] = v
+
+
+def resolve_pretrained(encoder_weights: Optional[str], encoder_name: str) -> Optional[str]:
+    """Map cfg.model.params.encoder_weights to a local .pth file.
+
+    Accepts either a filesystem path or a reference weight tag
+    ("imagenet" / "imagenet_ssl" / "imagenet_swsl"); tags are looked up as
+    ``{encoder_name}-{tag}.pth`` (also ``{tag}-{encoder_name}.pth`` and the
+    URL basename from PRETRAINED_URLS) under $VQ_SEG_PRETRAINED_DIR or
+    ~/.cache/vq_seg_tpu/pretrained.  Returns None — with a LOUD warning, not
+    silently — when nothing resolves (the reference would have downloaded
+    from the URL, models/encoders/__init__.py:24-29)."""
+    if not encoder_weights or str(encoder_weights).lower() in ("none", "false"):
+        return None
+    if os.path.isfile(str(encoder_weights)):
+        return str(encoder_weights)
+    cache_dir = os.environ.get(PRETRAINED_DIR_ENV, DEFAULT_PRETRAINED_DIR)
+    candidates = [f"{encoder_name}-{encoder_weights}.pth",
+                  f"{encoder_weights}-{encoder_name}.pth",
+                  f"{encoder_name}_{encoder_weights}.pth"]
+    from vq_seg_tpu.models.encoders import PRETRAINED_URLS
+
+    url = PRETRAINED_URLS.get(encoder_name, {}).get(str(encoder_weights))
+    if url:
+        candidates.append(url.rsplit("/", 1)[-1])
+    for c in candidates:
+        path = os.path.join(cache_dir, c)
+        if os.path.isfile(path):
+            return path
+    warnings.warn(
+        f"encoder_weights='{encoder_weights}' for '{encoder_name}' could not be "
+        f"resolved: not a file, and none of {candidates} exist in {cache_dir} "
+        f"(set ${PRETRAINED_DIR_ENV} or pass a .pth path). Training proceeds "
+        f"FROM SCRATCH — the reference would have loaded pretrained weights"
+        + (f" from {url}" if url else "") + ".",
+        stacklevel=2)
+    return None
+
+
+def find_encoder_path(params, name: str = "encoder") -> Optional[Tuple[str, ...]]:
+    """Locate the encoder subtree in a network's param tree (flagship nets
+    nest it under core/encoder; encoder-integrated nets keep it top-level)."""
+    if name in params:
+        return (name,)
+    for k, v in params.items():
+        if isinstance(v, Mapping) and name in v:
+            return (k, name)
+    return None
+
+
+def apply_pretrained_encoder(variables, encoder_name: str, encoder_weights):
+    """Resolve + load pretrained encoder weights into ``variables`` if the
+    config names any; returns ``variables`` unchanged (after warning) when
+    they cannot be resolved.  This is the trainer-facing entry point."""
+    path = resolve_pretrained(encoder_weights, encoder_name)
+    if path is None:
+        return variables
+    enc_path = find_encoder_path(variables.get("params", {}))
+    if enc_path is None:
+        warnings.warn(f"no 'encoder' subtree found in params; cannot load {path}",
+                      stacklevel=2)
+        return variables
+    print(f"loading pretrained encoder weights: {path} -> params/{'/'.join(enc_path)}")
+    return load_encoder_weights(variables, encoder_name, path, encoder_path=enc_path)
 
 
 def load_encoder_weights(variables, encoder_name: str, pth_path: str,
