@@ -1,0 +1,69 @@
+"""End-to-end evaluator coverage (reference test_detailviz.py:31-169):
+train one step -> checkpoint -> scripts/test.py sweep (directory mode,
+native-resolution scoring, results.txt, best-checkpoint pick), with and
+without dense-CRF refinement."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from vq_seg_tpu.config import Config
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory, synthetic_dataset):
+    from vq_seg_tpu.training import cps
+
+    tmp = tmp_path_factory.mktemp("evalcli")
+    cfg = Config({
+        "project_name": "evalcli", "wandb_logging": False, "num_classes": 3,
+        "pixel_to_label": {"0": 0, "128": 1, "255": 2}, "resize": 32,
+        "model": {"name": "vqreptunet1x1v2", "params": {
+            "encoder_name": "resnet18", "num_classes": 3,
+            "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4],
+                       "distance": "euclidean", "kmeans_init": True},
+            "margin": 0.5, "scale": 30.0}},
+        "train": {"data_dir": synthetic_dataset, "save_dir": str(tmp / "runs"),
+                  "num_epochs": 1, "batch_size": 1, "learning_rate": 1e-4,
+                  "lr_scheduler": {"name": "cosineannealing", "min_lr": 1e-7,
+                                   "warmup_steps": 0},
+                  "half": False, "criterion": {"name": "dice_loss"},
+                  "cps_loss_weight": 1, "total_commitment_loss_weight": 1,
+                  "total_prototype_loss_weight": 0.01,
+                  "confidence_threshold": 0.7, "save_img": False,
+                  "save_txt": True},
+        "test": {"data_dir": synthetic_dataset, "save_dir": str(tmp / "test_out"),
+                 "batch_size": 1, "weights": None, "save_img": False},
+    })
+    cps.train(cfg, max_steps_per_epoch=1)
+    run = os.listdir(str(tmp / "runs"))[0]
+    cfg["test"]["weights"] = os.path.join(str(tmp / "runs"), run, "ckpoints")
+    return cfg
+
+
+def test_eval_cli_directory_sweep(trained_run):
+    import test as test_cli  # scripts/test.py
+
+    best = test_cli.test(trained_run, save_img=False)
+    assert best is not None
+    ck, res = best
+    assert ck.endswith(".ckpt")
+    for k in ("test_acc", "test_miou", "test_precision", "test_recall",
+              "test_f1score"):
+        assert 0.0 <= float(res[k]) <= 1.0, (k, res[k])
+    assert len(res["iou_by_class"]) == 3
+    # results.txt written per the reference layout
+    run_name = os.path.basename(os.path.normpath(trained_run["test"]["weights"]))
+    results = os.path.join(trained_run["test"]["save_dir"], run_name, "results.txt")
+    assert os.path.isfile(results)
+
+
+def test_eval_cli_with_crf(trained_run):
+    import test as test_cli
+
+    best = test_cli.test(trained_run, save_img=False, use_crf=True)
+    assert best is not None
+    assert np.isfinite(float(best[1]["test_miou"]))

@@ -1,0 +1,85 @@
+"""Equal-accuracy check for the narrow decoder plan (VERDICT #6: "measure an
+equal-accuracy narrower plan behind a config flag, defaults unchanged").
+
+Trains the flagship CPS loop on the rule-based synthetic set (the
+BASELINE.md learning-loop sanity data: class = argmax of smoothed RGB) with
+the reference decoder plan vs the narrow plans, and reports final train/test
+mIoU side by side.
+
+    python tools/decoder_plan_accuracy.py [--epochs 60]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--hw", type=int, default=64)
+    args = ap.parse_args()
+
+    from tools.parity_run import make_synthetic
+    from vq_seg_tpu.losses import make_loss
+    from vq_seg_tpu.metrics.measurement import confusion_matrix, miou
+    from vq_seg_tpu.models.networks import make_model
+    from vq_seg_tpu.training.cps import (
+        cps_init_phase,
+        create_cps_state,
+        make_cps_train_step_stacked,
+        stack_cps_state,
+        unstack_cps_state,
+    )
+
+    (l_img, l_gt), ul_img, (t_img, t_gt) = make_synthetic()
+    jl, jg, ju = map(jnp.asarray, (l_img, l_gt, ul_img))
+
+    plans = {
+        "reference (enc//2 reversed)": None,
+        "dec_512": (512, 256, 128, 64, 32),
+        "dec_256": (256, 128, 64, 48, 32),
+    }
+    results = {}
+    for name, plan in plans.items():
+        params = {"encoder_name": "resnet18", "num_classes": 3,
+                  "vq_cfg": {"num_embeddings": [0, 0, 8, 8, 8],
+                             "distance": "euclidean", "kmeans_init": True},
+                  "margin": 0.5, "scale": 30.0}
+        if plan is not None:
+            params["decoder_channels"] = list(plan)
+        model = make_model({"name": "vqreptunet1x1v2", "params": params})
+        tx = optax.adam(1e-4)
+        dice = make_loss("dice_loss", 3, ignore_index=255)
+        state = create_cps_state(model, tx, (jl, jg, 0.7))
+        state = cps_init_phase(model, state, jl, jg, 0.7)
+        state = stack_cps_state(state, tx)
+        step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
+                                           confidence_threshold=0.7, remat=False)
+        m = None
+        for _ in range(args.epochs):
+            state, m, _, _ = step(state, jl, jg, ju)
+        v1, _ = unstack_cps_state(state)
+        test_ms = []
+        for i in range(t_img.shape[0]):
+            pred = model.apply(v1, jnp.asarray(t_img[i:i + 1]), train=False)[0]
+            conf = confusion_matrix(pred, jnp.asarray(t_gt[i:i + 1]), num_classes=3)
+            test_ms.append(float(miou(conf)[0]))
+        results[name] = {"train_miou": round(float(m["miou"]), 4),
+                         "test_miou": round(float(np.mean(test_ms)), 4),
+                         "final_loss": round(float(m["loss"]), 4)}
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

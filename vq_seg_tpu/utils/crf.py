@@ -166,8 +166,14 @@ class DenseCRF:
 
     def _bilateral(self, q, norm_img):
         fine = _window_bilateral(q, norm_img, self.bi_xy_std, self.bilateral_radius)
+        # cap the coarse grid at ~48 cells per dim so native-resolution eval
+        # images (e.g. CWFID 1296x966) stay at <=~2.3k scan steps; the
+        # long-range kernel (bi_xy_std=50) varies slowly enough for ~25 px
+        # cells
+        h, w = q.shape[:2]
+        stride = max(self.coarse_stride, -(-max(h, w) // 48))
         coarse = _coarse_bilateral(q, norm_img, self.bi_xy_std,
-                                   self.bilateral_radius, self.coarse_stride)
+                                   self.bilateral_radius, stride)
         return fine + coarse
 
     def _inference(self, image, prob_map):
