@@ -107,11 +107,12 @@ def main():
         "dec_256": dict(decoder_channels=(256, 128, 64, 48, 32)),
         "pad_zeros": dict(padding_mode="zeros"),
         "bs8": dict(),
+        "dec_256_bs8": dict(decoder_channels=(256, 128, 64, 48, 32)),
     }
     for name, kw in variants.items():
         if args.only and name != args.only:
             continue
-        batch = 8 if name == "bs8" else args.batch
+        batch = 8 if name.endswith("bs8") else args.batch
         run_variant(name, batch, args.hw, args.iters, **kw)
 
 
