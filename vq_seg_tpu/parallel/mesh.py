@@ -11,11 +11,12 @@ A ``model`` axis is declared (size 1 by default) so channel-sharded tensor
 parallelism can be enabled later without re-plumbing: conv kernels would
 shard their output-channel dim over it.
 
-BatchNorm note: with batch sharding, per-device batch statistics are local
-(the reference's single-device BN sees the whole batch).  For the flagship's
-batch size 4 this matches reference behaviour at 1 device and becomes
-per-replica BN at N — the standard data-parallel BN trade-off; sync-BN via
-``jax.lax.pmean`` inside the model is a documented extension point.
+BatchNorm note: under jit+GSPMD, ``jnp.mean`` over the sharded batch axis is
+a GLOBAL reduction (the partitioner inserts the all-reduce), so BatchNorm
+sees the full global batch exactly as the reference's single-device BN does
+— sync-BN comes for free, unlike pmap-style per-replica stats.  Verified by
+tests/test_sharding.py::test_stacked_cps_step_multi_device_matches_single
+(8-device losses/params match single-device to fp tolerance).
 """
 from __future__ import annotations
 
