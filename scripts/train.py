@@ -11,6 +11,10 @@ Modes (the reference's trainer-script envelope as one CLI):
   salientcps CPS + saliency aux decoders (deprecated/train_salient_loss.py)
   vqpt       (x, gt) prototype-net CPS, optional VQ-VAE-pretrained frozen
              encoder via cfg.train.pretrained (deprecated/train_vq_pt_unet.py)
+  angularv3  angular-head self-training CPS with the per-epoch unreliable
+             threshold ramp (deprecated/train_angularv3.py)
+  easyhard   easy-view pseudo labels, CutMix'd hard training views
+             (deprecated/train_vqpt_easyhard_aug.py)
 """
 from __future__ import annotations
 
@@ -28,7 +32,8 @@ def main():
     parser.add_argument("--config_path", default="./config/vqreptunet1x1v2.json")
     parser.add_argument("--mode", default="cps",
                         choices=["cps", "sup", "selfsup", "plaincps", "unimatch",
-                                 "salientcps", "vqpt"])
+                                 "salientcps", "vqpt", "angularv3", "easyhard",
+                                 "objcps"])
     parser.add_argument("--max_steps_per_epoch", type=int, default=None)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batches over all local devices")
@@ -59,7 +64,10 @@ def main():
         fn = {"plaincps": variant_drivers.train_plain_cps,
               "unimatch": variant_drivers.train_unimatch,
               "salientcps": variant_drivers.train_salient_cps,
-              "vqpt": variant_drivers.train_vqpt_cps}[opt.mode]
+              "vqpt": variant_drivers.train_vqpt_cps,
+              "angularv3": variant_drivers.train_angularv3_cps,
+              "easyhard": variant_drivers.train_easyhard_cps,
+              "objcps": variant_drivers.train_obj_cps}[opt.mode]
         fn(cfg, max_steps_per_epoch=opt.max_steps_per_epoch)
 
 

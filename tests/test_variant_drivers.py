@@ -134,7 +134,50 @@ def test_vqpt_driver_with_selfsup_pretrain_flow(synthetic_dataset, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_angularv3_driver(synthetic_dataset, tmp_path):
+    from vq_seg_tpu.training.variant_drivers import train_angularv3_cps
+
+    cfg = _base_cfg(synthetic_dataset, tmp_path,
+                    _vq_model("vqreptunetangularv3", margin=0.5, scale=30.0))
+    state = train_angularv3_cps(cfg, max_steps_per_epoch=1)
+    assert state is not None
+    _assert_run_saved(tmp_path)
+
+
+def test_easyhard_driver(synthetic_dataset, tmp_path):
+    from vq_seg_tpu.training.variant_drivers import train_easyhard_cps
+
+    cfg = _base_cfg(synthetic_dataset, tmp_path,
+                    _vq_model("vqptunet", margin=0.5, scale=30.0),
+                    extra_train={"cutmix_ratio": 0.5})
+    state = train_easyhard_cps(cfg, max_steps_per_epoch=2)
+    assert state is not None
+    _assert_run_saved(tmp_path)
+
+
 def jax_leaves_first(tree):
     import jax
 
     return np.asarray(jax.tree_util.tree_leaves(tree)[0]).ravel()[0]
+
+
+def test_objcps_driver(synthetic_dataset, tmp_path):
+    from vq_seg_tpu.training.variant_drivers import train_obj_cps
+
+    cfg = _base_cfg(synthetic_dataset, tmp_path, _vq_model("vqunet_v2"),
+                    extra_train={"obj_loss_weight": 1.0,
+                                 "criterion": {"name": "dice_loss"}})
+    state = train_obj_cps(cfg, max_steps_per_epoch=1)
+    assert state is not None
+    _assert_run_saved(tmp_path)
+
+
+def test_plaincps_code_usage_loss(synthetic_dataset, tmp_path):
+    """deprecated/code_usage_train.py mode: the usage term shifts the loss."""
+    from vq_seg_tpu.training.variant_drivers import train_plain_cps
+
+    cfg = _base_cfg(synthetic_dataset, tmp_path, _vq_model("vqunet_v2"),
+                    extra_train={"code_usage_loss_weight": 1.0})
+    cfg["train"]["save_dir"] = None
+    state = train_plain_cps(cfg, max_steps_per_epoch=1)
+    assert state is not None

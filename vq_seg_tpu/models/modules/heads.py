@@ -223,12 +223,15 @@ class AngularSegmentationHeadv3(_HeadProtoMixin):
             onehot = (jax.lax.broadcasted_iota(jnp.int32, cosine.shape, 0)
                       == flat_gt[None, :])
             logits = self.scale * jnp.where(onehot, cosine * phi, cosine)
-            if split == "unlabeled" and th > 0:
+            if split == "unlabeled":
                 # NB the reference overwrites its score_mask with the resized
                 # pseudo-gt (segmentation_head.py:385-387) — we use the
-                # intended confidence mask (documented divergence).
+                # intended confidence mask (documented divergence).  ``th``
+                # may be a traced scalar (the angular-v3 trainer ramps it per
+                # epoch), so th<=0 disables the mask via where, not python if.
                 mask = score_mask(pred, th)[..., 0]
                 mask = jax.image.resize(mask.astype(jnp.float32), (n, h, w_), "nearest")
+                mask = jnp.where(jnp.asarray(th) > 0, mask, jnp.ones_like(mask))
                 logits = logits * mask.reshape(1, -1)
             positive = jnp.sum(jnp.where(onehot, logits, 0.0), axis=0)
             sum_all = jnp.sum(jnp.exp(logits), axis=0)

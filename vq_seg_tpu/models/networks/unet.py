@@ -18,7 +18,13 @@ import jax.numpy as jnp
 from flax.core import FrozenDict
 
 from vq_seg_tpu.models.encoders import make_encoder
-from vq_seg_tpu.models.layers import ConvBNReLU, ConvPad, resize_bilinear, torch_conv_default
+from vq_seg_tpu.models.layers import (
+    ConvBNReLU,
+    ConvPad,
+    resize_bilinear,
+    torch_conv_default,
+    upsample_bilinear_ac,
+)
 from vq_seg_tpu.models.modules.decoder import UnetDecoder
 from vq_seg_tpu.models.modules.heads import (
     AngularSegmentationHead,
@@ -244,9 +250,12 @@ class VQRePTUnetAngular(nn.Module):
                           self.decoder_channels, self.depth, padding_mode="reflect",
                           name="core")
         dec, commit, usage, dec_ch, _feats = core(x, train, init_codebook)
+        # reference: the head itself runs at decoder resolution (upsampling=1,
+        # modified_vqunet/net.py:1010) — the x2 upsample applies to the OUTPUT
+        # only (:1052), so the angular loss is computed on the decoder grid
         head = AngularSegmentationHeadv2(
             num_classes=self.num_classes, out_channels=dec_ch[-1], pt_init=self.pt_init,
-            scale=self.scale, margin=self.margin, upsampling=self.upsampling,
+            scale=self.scale, margin=self.margin, upsampling=1,
             name="segmentation_head")
         entropy = None
         if train and gt is not None:
@@ -259,6 +268,8 @@ class VQRePTUnetAngular(nn.Module):
             entropy = entropy.reshape(-1)
         out, aloss = head(dec, gt, percent if percent is not None else 100.0, entropy,
                           train=train, init_protos=init_protos)
+        if self.upsampling > 1:
+            out = upsample_bilinear_ac(out, scale=self.upsampling)
         return out, commit, usage, aloss
 
 
@@ -277,7 +288,7 @@ class VQRePTUnetAngularv3(nn.Module):
     in_channels: int = 3
     decoder_channels: Optional[Tuple[int, ...]] = None
     depth: int = 5
-    upsampling: int = 1
+    upsampling: int = 2
     pt_init: str = "kmeans"
 
     @nn.compact
@@ -287,9 +298,13 @@ class VQRePTUnetAngularv3(nn.Module):
                           self.decoder_channels, self.depth, padding_mode="reflect",
                           name="core")
         dec, commit, usage, dec_ch, _feats = core(x, train, init_codebook)
+        # head at decoder resolution; the x2 upsample applies to the OUTPUT
+        # only (reference modified_vqunet/net.py:1093-1094, 1121)
         head = AngularSegmentationHeadv3(
             num_classes=self.num_classes, out_channels=dec_ch[-1], pt_init=self.pt_init,
-            scale=self.scale, margin=self.margin, upsampling=self.upsampling,
+            scale=self.scale, margin=self.margin, upsampling=1,
             name="segmentation_head")
         out, aloss = head(dec, pred, split, th, train=train, init_protos=init_protos)
+        if self.upsampling > 1:
+            out = upsample_bilinear_ac(out, scale=self.upsampling)
         return out, commit, usage, aloss

@@ -36,6 +36,8 @@ from vq_seg_tpu.training.cps import CPSTrainState, evaluate
 from vq_seg_tpu.training.schedules import make_lr_schedule
 from vq_seg_tpu.training.supervised import TrainState, init_phase
 from vq_seg_tpu.training.variants import (
+    make_angularv3_cps_train_step,
+    make_easyhard_cps_train_step,
     make_plain_cps_train_step,
     make_salient_cps_train_step,
     make_unimatch_train_step,
@@ -164,7 +166,11 @@ def train_plain_cps(cfg, max_steps_per_epoch: Optional[int] = None):
     step = make_plain_cps_train_step(
         model, tx, num_classes=cfg.num_classes,
         cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
-        ce_weight=cfg.train.criterion.get("weight"))
+        ce_weight=cfg.train.criterion.get("weight"),
+        # deprecated/code_usage_train.py mode: add the (gradient-free)
+        # per-stage code-usage term to the objective
+        usage_loss_weight=cfg.train.get("code_usage_loss_weight", 0.0),
+        depth=cfg.model.params.get("depth", 5))
     test_loader = _test_loader(cfg)
 
     initted = False
@@ -379,6 +385,193 @@ def train_vqpt_cps(cfg, max_steps_per_epoch: Optional[int] = None):
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0) + np.asarray(v)
         _epoch_summary("vqpt", epoch, sums, steps, t0, log_txt, logger)
+        if test_loader is not None and epoch % cfg.train.test_every == 0:
+            tm = evaluate(model, state.variables_1, test_loader,
+                          cfg.pixel_to_label, cfg.num_classes)
+            print(f"test miou : {tm}")
+        _save_dual(ckpoints_dir, state, epoch, steps - 1)
+    _finish(log_txt, logger)
+    return state
+
+
+def train_angularv3_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+    """Angular-v3 CPS driver (deprecated/train_angularv3.py:49-260):
+    vqreptunetangularv3 with the per-epoch unreliable-threshold ramp
+    ((epoch+1)/num_epochs until epoch 70, then 0.7 — :155)."""
+    save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "angularv3")
+    model = make_model(cfg.model)
+    sup_loader, unsup_loader = _semi_loaders(cfg)
+    steps = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    dice = make_loss(cfg.train.criterion.name, cfg.num_classes, ignore_index=255,
+                     weight=cfg.train.criterion.get("weight"))
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample_x = jnp.zeros((cfg.train.batch_size, resize, resize, 3))
+    sample_gt = jnp.zeros((cfg.train.batch_size, resize, resize), jnp.int32)
+    state = _dual_state(model, tx, (sample_x, sample_gt, "labeled", 0.0))
+    state = state.replace(variables_1=_apply_encoder_weights(cfg, state.variables_1),
+                          variables_2=_apply_encoder_weights(cfg, state.variables_2))
+    step = make_angularv3_cps_train_step(
+        model, tx, dice, num_classes=cfg.num_classes,
+        cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
+        commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
+        prototype_loss_weight=cfg.train.get("total_prototype_loss_weight", 0.01),
+        ce_weight=cfg.train.criterion.get("weight"))
+    test_loader = _test_loader(cfg)
+
+    initted = False
+    num_epochs = cfg.train.num_epochs
+    for epoch in range(num_epochs):
+        th = jnp.float32((epoch + 1) / num_epochs if epoch < 70 else 0.7)
+        it = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+        sums: dict = {}
+        t0 = time.time()
+        for batch_idx in range(steps):
+            sup_d, unsup_d = next(it)
+            l_img = jnp.asarray(sup_d["img"])
+            l_tgt = img_to_label(jnp.asarray(sup_d["target"]), cfg.pixel_to_label)
+            ul_img = jnp.asarray(unsup_d["img"])
+            if not initted:
+                new_vars = []
+                for v, seed in ((state.variables_1, 0), (state.variables_2, 1)):
+                    k = jax.random.PRNGKey(seed)
+                    _, mut = model.apply(v, l_img, l_tgt, "labeled", 0.0, train=True,
+                                         init_codebook=True, init_protos=True,
+                                         mutable=["params", "batch_stats", "codebook"],
+                                         rngs={"kmeans": k, "dropout": k})
+                    new_vars.append({**v, **mut})
+                state = state.replace(variables_1=new_vars[0], variables_2=new_vars[1])
+                initted = True
+            state, metrics = step(state, l_img, l_tgt, ul_img, th)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v)
+        _epoch_summary("angularv3", epoch, sums, steps, t0, log_txt, logger)
+        if test_loader is not None and epoch % cfg.train.test_every == 0:
+            tm = evaluate(model, state.variables_1, test_loader,
+                          cfg.pixel_to_label, cfg.num_classes)
+            print(f"test miou : {tm}")
+        _save_dual(ckpoints_dir, state, epoch, steps - 1)
+    _finish(log_txt, logger)
+    return state
+
+
+def train_easyhard_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+    """Easy-hard augmentation CPS driver (deprecated/
+    train_vqpt_easyhard_aug.py): (x, gt)-signature prototype nets; pseudo
+    labels from dihedral easy views, CutMix'd hard training views."""
+    save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "easyhard")
+    model = make_model(cfg.model)
+    sup_loader, unsup_loader = _semi_loaders(cfg)
+    steps = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    criterion = make_loss(cfg.train.criterion.name, cfg.num_classes, ignore_index=255,
+                          weight=cfg.train.criterion.get("weight"))
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample_x = jnp.zeros((cfg.train.batch_size, resize, resize, 3))
+    sample_gt = jnp.zeros((cfg.train.batch_size, resize, resize), jnp.int32)
+    state = _dual_state(model, tx, (sample_x, sample_gt))
+    state = state.replace(variables_1=_apply_encoder_weights(cfg, state.variables_1),
+                          variables_2=_apply_encoder_weights(cfg, state.variables_2))
+    step = make_easyhard_cps_train_step(
+        model, tx, criterion, num_classes=cfg.num_classes,
+        cutmix_ratio=cfg.train.get("cutmix_ratio", 0.5),
+        cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
+        commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
+        prototype_loss_weight=cfg.train.get("total_prototype_loss_weight", 0.01))
+
+    rng = np.random.default_rng(cfg.train.get("seed", 0))
+    key = jax.random.PRNGKey(cfg.train.get("seed", 0))
+    initted = False
+    for epoch in range(cfg.train.num_epochs):
+        it = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+        sums: dict = {}
+        t0 = time.time()
+        for batch_idx in range(steps):
+            sup_d, unsup_d = next(it)
+            l_img = jnp.asarray(sup_d["img"])
+            l_tgt = img_to_label(jnp.asarray(sup_d["target"]), cfg.pixel_to_label)
+            ul_img = jnp.asarray(unsup_d["img"])
+            if not initted:
+                new_vars = []
+                for v, seed in ((state.variables_1, 0), (state.variables_2, 1)):
+                    k = jax.random.PRNGKey(seed)
+                    _, mut = model.apply(v, l_img, l_tgt, train=True,
+                                         init_codebook=True, init_protos=True,
+                                         mutable=["params", "batch_stats", "codebook"],
+                                         rngs={"kmeans": k, "dropout": k})
+                    new_vars.append({**v, **mut})
+                state = state.replace(variables_1=new_vars[0], variables_2=new_vars[1])
+                initted = True
+            key, sub = jax.random.split(key)
+            # reference aug draw: cases 1/2 flip, everything else identity
+            draw = int(rng.integers(0, 10))
+            case = jnp.int32(draw if draw in (1, 2) else 0)
+            state, metrics = step(state, l_img, l_tgt, ul_img, sub, case)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v)
+        _epoch_summary("easyhard", epoch, sums, steps, t0, log_txt, logger)
+        _save_dual(ckpoints_dir, state, epoch, steps - 1)
+    _finish(log_txt, logger)
+    return state
+
+
+def train_obj_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+    """Object-loss CPS driver (deprecated/train_with_test_object_loss.py):
+    plain CPS + binary object-vs-background loss on the non-bg softmax mass,
+    weighted by ``cfg.train.obj_loss_weight``."""
+    from vq_seg_tpu.training.variants import make_objloss_cps_train_step
+
+    save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "objcps")
+    model = make_model(cfg.model)
+    sup_loader, unsup_loader = _semi_loaders(cfg)
+    steps = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    criterion = make_loss(cfg.train.criterion.name, cfg.num_classes, ignore_index=255,
+                          weight=cfg.train.criterion.get("weight"))
+    object_criterion = make_loss(cfg.train.criterion.name, 1)
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample = jnp.zeros((cfg.train.batch_size, resize, resize, 3))
+    state = _dual_state(model, tx, (sample,))
+    state = state.replace(variables_1=_apply_encoder_weights(cfg, state.variables_1),
+                          variables_2=_apply_encoder_weights(cfg, state.variables_2))
+    step = make_objloss_cps_train_step(
+        model, tx, criterion, object_criterion, num_classes=cfg.num_classes,
+        batch_size=cfg.train.batch_size,
+        cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
+        commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
+        obj_loss_weight=cfg.train.get("obj_loss_weight", 1.0))
+    test_loader = _test_loader(cfg)
+
+    initted = False
+    for epoch in range(cfg.train.num_epochs):
+        it = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+        sums: dict = {}
+        t0 = time.time()
+        for batch_idx in range(steps):
+            sup_d, unsup_d = next(it)
+            l_img = jnp.asarray(sup_d["img"])
+            l_tgt = img_to_label(jnp.asarray(sup_d["target"]), cfg.pixel_to_label)
+            ul_img = jnp.asarray(unsup_d["img"])
+            if not initted:
+                state = state.replace(
+                    variables_1=init_phase(model, TrainState(state.variables_1, None, 0),
+                                           (l_img,), seed=0).variables,
+                    variables_2=init_phase(model, TrainState(state.variables_2, None, 0),
+                                           (l_img,), seed=1).variables)
+                initted = True
+            state, metrics = step(state, l_img, l_tgt, ul_img)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v)
+        _epoch_summary("objcps", epoch, sums, steps, t0, log_txt, logger)
         if test_loader is not None and epoch % cfg.train.test_every == 0:
             tm = evaluate(model, state.variables_1, test_loader,
                           cfg.pixel_to_label, cfg.num_classes)

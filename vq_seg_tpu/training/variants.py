@@ -28,23 +28,31 @@ from vq_seg_tpu.training.supervised import TrainState
 
 
 def make_plain_cps_train_step(model, tx, *, num_classes: int,
-                              cps_loss_weight: float = 1.0, ce_weight=None):
-    """Plain CPS: cps = CE(p1, argmax p2) + CE(p2, argmax p1); sup = CE each."""
+                              cps_loss_weight: float = 1.0, ce_weight=None,
+                              usage_loss_weight: float = 0.0, depth: int = 5):
+    """Plain CPS: cps = CE(p1, argmax p2) + CE(p2, argmax p1); sup = CE each.
+
+    ``usage_loss_weight > 0`` adds the reference's ``code_usage_loss=True``
+    term (deprecated/code_usage_train.py:111-130 + unet/net.py:108-131):
+    usage_loss = sum(per-stage code_usage)/depth per forward.  Faithful
+    parity note: code_usage comes from bincount, so the term carries NO
+    gradient in the reference either — it only shifts the reported loss."""
 
     ce = partial(cross_entropy_loss, ignore_index=255, weight=ce_weight)
 
     def fwd(variables, x):
         out, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
         logits = out[0] if isinstance(out, tuple) else out
-        return logits, {**variables, "batch_stats": mut["batch_stats"]}
+        usage = out[2] if isinstance(out, tuple) and len(out) > 2 else jnp.zeros((0,))
+        return logits, usage, {**variables, "batch_stats": mut["batch_stats"]}
 
     def loss_fn(p1, p2, state, l_img, l_target, ul_img):
         v1 = {**state.variables_1, "params": p1}
         v2 = {**state.variables_2, "params": p2}
-        pred_sup_1, v1 = fwd(v1, l_img)
-        pred_sup_2, v2 = fwd(v2, l_img)
-        pred_ul_1, v1 = fwd(v1, ul_img)
-        pred_ul_2, v2 = fwd(v2, ul_img)
+        pred_sup_1, us_l1, v1 = fwd(v1, l_img)
+        pred_sup_2, us_l2, v2 = fwd(v2, l_img)
+        pred_ul_1, us_ul1, v1 = fwd(v1, ul_img)
+        pred_ul_2, us_ul2, v2 = fwd(v2, ul_img)
         pred_1 = jnp.concatenate([pred_sup_1, pred_ul_1], 0)
         pred_2 = jnp.concatenate([pred_sup_2, pred_ul_2], 0)
         pseudo_1 = jax.lax.stop_gradient(jnp.argmax(pred_1, -1))
@@ -53,11 +61,16 @@ def make_plain_cps_train_step(model, tx, *, num_classes: int,
         sup_1 = ce(pred_sup_1, l_target)
         sup_2 = ce(pred_sup_2, l_target)
         loss = sup_1 + sup_2 + cps_loss_weight * cps
+        usage_loss = jnp.float32(0.0)
+        if usage_loss_weight:
+            usage_loss = sum(jnp.sum(u) / depth for u in (us_l1, us_l2, us_ul1, us_ul2))
+            loss = loss + usage_loss_weight * usage_loss
         conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
         m, iou_list = miou(conf)
         return loss, dict(batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
                           metrics=dict(loss=loss, cps_loss=cps, sup_loss_1=sup_1,
-                                       sup_loss_2=sup_2, miou=m, iou_list=iou_list))
+                                       sup_loss_2=sup_2, usage_loss=usage_loss,
+                                       miou=m, iou_list=iou_list))
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: CPSTrainState, l_img, l_target, ul_img):
@@ -197,6 +210,233 @@ def make_vqpt_cps_train_step(model, tx, criterion, *, num_classes: int,
         (p1, _), (p2, _) = _split(state.variables_1), _split(state.variables_2)
         (g1, g2), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
             p1, p2, state, l_img, l_target, ul_img)
+        u1, o1 = tx.update(g1, state.opt_state_1, p1)
+        u2, o2 = tx.update(g2, state.opt_state_2, p2)
+        return state.replace(
+            variables_1={**state.variables_1, "params": optax.apply_updates(p1, u1),
+                         "batch_stats": aux["batch_stats_1"]},
+            variables_2={**state.variables_2, "params": optax.apply_updates(p2, u2),
+                         "batch_stats": aux["batch_stats_2"]},
+            opt_state_1=o1, opt_state_2=o2, step=state.step + 1,
+        ), aux["metrics"]
+
+    return step
+
+
+def make_objloss_cps_train_step(model, tx, criterion, object_criterion, *,
+                                num_classes: int, batch_size: int,
+                                cps_loss_weight: float = 1.0,
+                                commitment_loss_weight: float = 1.0,
+                                obj_loss_weight: float = 1.0):
+    """Plain CPS + binary OBJECT loss (deprecated/
+    train_with_test_object_loss.py:29-36, 150-182): obj_pred = sum of the
+    non-background softmax channels, obj_target = (label != 0); the object
+    criterion is the configured loss with num_classes=1 — which, faithfully,
+    applies its sigmoid to the already-softmaxed probability."""
+
+    def fwd(variables, x):
+        out, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        pred = out[0] if isinstance(out, tuple) else out
+        commit = (out[1] if isinstance(out, tuple) and len(out) > 1 and out[1] is not None
+                  else jnp.float32(0.0))
+        return pred, commit, {**variables, "batch_stats": mut["batch_stats"]}
+
+    def to_obj_pred(pred):
+        prob = jax.nn.softmax(pred, -1)
+        return jnp.sum(prob[..., 1:], axis=-1, keepdims=True)
+
+    def loss_fn(p1, p2, state, l_img, l_target, ul_img):
+        v1 = {**state.variables_1, "params": p1}
+        v2 = {**state.variables_2, "params": p2}
+        pred_sup_1, c_l1, v1 = fwd(v1, l_img)
+        pred_sup_2, c_l2, v2 = fwd(v2, l_img)
+        pred_ul_1, c_ul1, v1 = fwd(v1, ul_img)
+        pred_ul_2, c_ul2, v2 = fwd(v2, ul_img)
+        pred_1 = jnp.concatenate([pred_sup_1, pred_ul_1], 0)
+        pred_2 = jnp.concatenate([pred_sup_2, pred_ul_2], 0)
+        pseudo_1 = jax.lax.stop_gradient(jnp.argmax(pred_1, -1))
+        pseudo_2 = jax.lax.stop_gradient(jnp.argmax(pred_2, -1))
+        cps = criterion(pred_1, pseudo_2) + criterion(pred_2, pseudo_1)
+        sup = criterion(pred_sup_1, l_target) + criterion(pred_sup_2, l_target)
+        # object loss: labeled targets + the OTHER model's unlabeled pseudo
+        obj_t1 = jnp.where(jnp.concatenate([l_target, pseudo_1[-batch_size:]], 0) != 0, 1, 0)
+        obj_t2 = jnp.where(jnp.concatenate([l_target, pseudo_2[-batch_size:]], 0) != 0, 1, 0)
+        obj = (object_criterion(to_obj_pred(pred_1), jax.lax.stop_gradient(obj_t2))
+               + object_criterion(to_obj_pred(pred_2), jax.lax.stop_gradient(obj_t1)))
+        commit = c_l1 + c_l2 + c_ul1 + c_ul2
+        loss = (sup + cps_loss_weight * cps + commitment_loss_weight * commit
+                + obj_loss_weight * obj)
+        conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        return loss, dict(batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
+                          metrics=dict(loss=loss, cps_loss=cps, sup_loss=sup,
+                                       obj_loss=obj, commitment_loss=commit,
+                                       miou=m, iou_list=iou_list))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: CPSTrainState, l_img, l_target, ul_img):
+        (p1, _), (p2, _) = _split(state.variables_1), _split(state.variables_2)
+        (g1, g2), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            p1, p2, state, l_img, l_target, ul_img)
+        u1, o1 = tx.update(g1, state.opt_state_1, p1)
+        u2, o2 = tx.update(g2, state.opt_state_2, p2)
+        return state.replace(
+            variables_1={**state.variables_1, "params": optax.apply_updates(p1, u1),
+                         "batch_stats": aux["batch_stats_1"]},
+            variables_2={**state.variables_2, "params": optax.apply_updates(p2, u2),
+                         "batch_stats": aux["batch_stats_2"]},
+            opt_state_1=o1, opt_state_2=o2, step=state.step + 1,
+        ), aux["metrics"]
+
+    return step
+
+
+def make_angularv3_cps_train_step(model, tx, dice_loss, *, num_classes: int,
+                                  cps_loss_weight: float = 1.0,
+                                  commitment_loss_weight: float = 1.0,
+                                  prototype_loss_weight: float = 0.01,
+                                  ce_weight=None):
+    """Angular-v3 CPS (deprecated/train_angularv3.py:140-205): nets with the
+    (x, pred, split, th) signature (vqreptunetangularv3).  The unreliable
+    threshold ramps per epoch ((epoch+1)/num_epochs, capped 0.7 after epoch
+    70 — :155) and is passed per step; the CPS filter is the RAW max logit
+    (no softmax — entropy_mask, :43-47)."""
+
+    ce = partial(cross_entropy_loss, ignore_index=255, weight=ce_weight)
+
+    def fwd(variables, x, pred, split, th):
+        (out, commit, usage, aloss), mut = model.apply(
+            variables, x, pred, split, th, train=True, mutable=["batch_stats"])
+        return (out, commit, usage, aloss), {**variables, "batch_stats": mut["batch_stats"]}
+
+    def entropy_mask(pred, pseudo, th):
+        # raw-logit max (train_angularv3.py:46 — softmax commented out)
+        return jnp.where(jnp.max(pred, -1) > th, pseudo, 255)
+
+    def loss_fn(p1, p2, state, l_img, l_target, ul_img, th):
+        v1 = {**state.variables_1, "params": p1}
+        v2 = {**state.variables_2, "params": p2}
+        s1 = jax.lax.stop_gradient(model.apply(v1, ul_img, train=False)[0])
+        s2 = jax.lax.stop_gradient(model.apply(v2, ul_img, train=False)[0])
+        (pred_sup_1, c_l1, u_l1, a_l1), v1 = fwd(v1, l_img, l_target, "labeled", 0.0)
+        (pred_sup_2, c_l2, u_l2, a_l2), v2 = fwd(v2, l_img, l_target, "labeled", 0.0)
+        (pred_ul_1, c_ul1, u_ul1, a_ul1), v1 = fwd(v1, ul_img, s2, "unlabeled", th)
+        (pred_ul_2, c_ul2, u_ul2, a_ul2), v2 = fwd(v2, ul_img, s1, "unlabeled", th)
+        pred_1 = jnp.concatenate([pred_sup_1, pred_ul_1], 0)
+        pred_2 = jnp.concatenate([pred_sup_2, pred_ul_2], 0)
+        pseudo_1 = jnp.argmax(pred_1, -1)
+        pseudo_2 = jnp.argmax(pred_2, -1)
+        filt_1 = jax.lax.stop_gradient(entropy_mask(pred_1, pseudo_1, th))
+        filt_2 = jax.lax.stop_gradient(entropy_mask(pred_2, pseudo_2, th))
+        cps = (0.5 * ce(pred_1, filt_2) + 0.5 * ce(pred_2, filt_1)
+               + dice_loss(pred_1, filt_2) + dice_loss(pred_2, filt_1))
+        sup_1 = 0.5 * ce(pred_sup_1, l_target) + dice_loss(pred_sup_1, l_target)
+        sup_2 = 0.5 * ce(pred_sup_2, l_target) + dice_loss(pred_sup_2, l_target)
+        commit = (c_l1 + c_l2 + c_ul1 + c_ul2) * commitment_loss_weight
+        proto = (a_l1 + a_l2 + a_ul1 + a_ul2) * prototype_loss_weight
+        loss = sup_1 + sup_2 + cps_loss_weight * cps + commit + proto
+        code_usage = (u_l1 + u_l2 + u_ul1 + u_ul2) / 4.0
+        conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        return loss, dict(batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
+                          metrics=dict(loss=loss, cps_loss=cps, sup_loss_1=sup_1,
+                                       sup_loss_2=sup_2, commitment_loss=commit,
+                                       prototype_loss=proto, code_usage=code_usage,
+                                       miou=m, iou_list=iou_list))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: CPSTrainState, l_img, l_target, ul_img, th):
+        (p1, _), (p2, _) = _split(state.variables_1), _split(state.variables_2)
+        (g1, g2), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            p1, p2, state, l_img, l_target, ul_img, th)
+        u1, o1 = tx.update(g1, state.opt_state_1, p1)
+        u2, o2 = tx.update(g2, state.opt_state_2, p2)
+        return state.replace(
+            variables_1={**state.variables_1, "params": optax.apply_updates(p1, u1),
+                         "batch_stats": aux["batch_stats_1"]},
+            variables_2={**state.variables_2, "params": optax.apply_updates(p2, u2),
+                         "batch_stats": aux["batch_stats_2"]},
+            opt_state_1=o1, opt_state_2=o2, step=state.step + 1,
+        ), aux["metrics"]
+
+    return step
+
+
+def make_easyhard_cps_train_step(model, tx, criterion, *, num_classes: int,
+                                 cutmix_ratio: float = 0.5,
+                                 cps_loss_weight: float = 1.0,
+                                 commitment_loss_weight: float = 1.0,
+                                 prototype_loss_weight: float = 0.01):
+    """Easy-hard augmentation CPS (deprecated/train_vqpt_easyhard_aug.py:
+    100-170): pseudo-labels come from an EASY (dihedral) view, are
+    inverse-transformed and CutMix'd with the SAME box as the hard input
+    view; cps = criterion between sup argmaxes + criterion(pred_hard,
+    mixed pseudo).  Nets with the (x, gt) signature (vqptunet family).
+
+    The dihedral case is a traced int (0 identity / 1 h-flip / 2 v-flip —
+    the reference's rotation branches are no-ops, data/augmentations.py
+    parity note), so one compilation covers all draws."""
+    from vq_seg_tpu.data.augmentations import make_cutout_mask
+
+    def dihedral(x, case):
+        # width/height axes for NHWC images (ndim 4) vs NHW label maps
+        w_ax = -2 if x.ndim == 4 else -1
+        h_ax = -3 if x.ndim == 4 else -2
+        return jax.lax.switch(case, [lambda a: a,
+                                     lambda a: jnp.flip(a, w_ax),
+                                     lambda a: jnp.flip(a, h_ax)], x)
+
+    def fwd(variables, x, gt):
+        (pred, commit, usage, proto), mut = model.apply(
+            variables, x, gt, train=True, mutable=["batch_stats"])
+        return (pred, commit, usage, proto), {**variables, "batch_stats": mut["batch_stats"]}
+
+    def loss_fn(p1, p2, state, l_img, l_target, ul_img, key, case):
+        v1 = {**state.variables_1, "params": p1}
+        v2 = {**state.variables_2, "params": p2}
+        easy_ul = dihedral(ul_img, case)
+        mask = make_cutout_mask(key, ul_img.shape[1:3], cutmix_ratio)
+        mf = mask.astype(ul_img.dtype)[None, :, :, None]
+        hard_ul = ul_img * mf + jnp.roll(ul_img, -1, 0) * (1 - mf)
+        # pseudo from the easy view, mapped back, mixed like the hard input
+        pl_1 = jnp.argmax(model.apply(v1, easy_ul, train=False)[0], -1)
+        pl_2 = jnp.argmax(model.apply(v2, easy_ul, train=False)[0], -1)
+
+        def mix_labels(pl):
+            pl = dihedral(pl, case)  # inverse == forward for flips
+            return pl * mask[None] + jnp.roll(pl, -1, 0) * (1 - mask[None])
+
+        pl_1 = jax.lax.stop_gradient(mix_labels(pl_1))
+        pl_2 = jax.lax.stop_gradient(mix_labels(pl_2))
+
+        (pred_sup_1, c_l1, u_l1, pt_l1), v1 = fwd(v1, l_img, l_target)
+        (pred_sup_2, c_l2, u_l2, pt_l2), v2 = fwd(v2, l_img, l_target)
+        (pred_ul_1, c_ul1, u_ul1, pt_ul1), v1 = fwd(v1, hard_ul, pl_2)
+        (pred_ul_2, c_ul2, u_ul2, pt_ul2), v2 = fwd(v2, hard_ul, pl_1)
+
+        sp_1 = jax.lax.stop_gradient(jnp.argmax(pred_sup_1, -1))
+        sp_2 = jax.lax.stop_gradient(jnp.argmax(pred_sup_2, -1))
+        sup_cps = criterion(pred_sup_1, sp_2) + criterion(pred_sup_2, sp_1)
+        unsup_cps = criterion(pred_ul_1, pl_2) + criterion(pred_ul_2, pl_1)
+        cps = (sup_cps + unsup_cps) * cps_loss_weight
+        sup = criterion(pred_sup_1, l_target) + criterion(pred_sup_2, l_target)
+        commit = (c_l1 + c_l2 + c_ul1 + c_ul2) * commitment_loss_weight
+        proto = (pt_l1 + pt_l2 + pt_ul1 + pt_ul2) * prototype_loss_weight
+        loss = sup + cps + commit + proto
+        code_usage = (u_l1 + u_l2 + u_ul1 + u_ul2) / 4.0
+        conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        return loss, dict(batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
+                          metrics=dict(loss=loss, cps_loss=cps, sup_loss=sup,
+                                       commitment_loss=commit, prototype_loss=proto,
+                                       code_usage=code_usage, miou=m,
+                                       iou_list=iou_list))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: CPSTrainState, l_img, l_target, ul_img, key, case):
+        (p1, _), (p2, _) = _split(state.variables_1), _split(state.variables_2)
+        (g1, g2), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            p1, p2, state, l_img, l_target, ul_img, key, case)
         u1, o1 = tx.update(g1, state.opt_state_1, p1)
         u2, o2 = tx.update(g2, state.opt_state_2, p2)
         return state.replace(
