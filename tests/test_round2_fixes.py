@@ -315,3 +315,44 @@ def test_cps_checkpoints_without_wandb(tmp_path, synthetic_dataset):
     ck = load_full(os.path.join(run_dir, "ckpoints", "last.ckpt"))
     assert ck["optimizer_1"] is not None and ck["optimizer_2"] is not None
     assert ck["model_1"] is not None and ck["model_2"] is not None
+
+
+def test_check_finite_reports_paths():
+    from vq_seg_tpu.utils.debug import check_finite, finite_or_raise
+
+    good = {"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}}
+    assert check_finite(good) == []
+    bad = {"a": jnp.ones(3), "b": {"c": jnp.asarray([1.0, np.nan])},
+           "d": jnp.asarray([np.inf]), "i": jnp.arange(3)}  # ints skipped
+    found = dict(check_finite(bad))
+    assert found["b/c"] == "NaN" and found["d"] == "Inf"
+    with pytest.raises(FloatingPointError, match="b/c"):
+        finite_or_raise(bad, "tree")
+
+
+def test_cps_train_grad_accum_knob(synthetic_dataset, tmp_path):
+    """cfg.train.grad_accum_steps threads optax.MultiSteps through the
+    flagship driver (VERDICT missing #7)."""
+    from vq_seg_tpu.config import Config
+    from vq_seg_tpu.training import cps
+
+    cfg = Config({
+        "project_name": "accum_test", "wandb_logging": False, "num_classes": 3,
+        "pixel_to_label": {"0": 0, "128": 1, "255": 2}, "resize": 32,
+        "model": {"name": "vqreptunet1x1v2", "params": {
+            "encoder_name": "resnet18", "num_classes": 3,
+            "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4],
+                       "distance": "euclidean", "kmeans_init": True},
+            "margin": 0.5, "scale": 30.0}},
+        "train": {"data_dir": synthetic_dataset, "save_dir": None,
+                  "num_epochs": 1, "batch_size": 1, "learning_rate": 1e-4,
+                  "lr_scheduler": {"name": "cosineannealing", "min_lr": 1e-7,
+                                   "warmup_steps": 0},
+                  "half": False, "criterion": {"name": "dice_loss"},
+                  "cps_loss_weight": 1, "total_commitment_loss_weight": 1,
+                  "total_prototype_loss_weight": 0.01,
+                  "confidence_threshold": 0.7, "save_img": False,
+                  "save_txt": False, "grad_accum_steps": 2},
+    })
+    state = cps.train(cfg, max_steps_per_epoch=2)
+    assert int(state.step) == 2  # two micro-steps ran without error

@@ -118,3 +118,31 @@ def test_dryrun_multichip_cps():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process():
+    """parallel/distributed.py on a single process: host_shard slicing and
+    make_global_batch == batch-sharded device_put."""
+    from vq_seg_tpu.parallel import make_mesh
+    from vq_seg_tpu.parallel.distributed import (
+        host_shard,
+        make_global_batch,
+        shard_host_batch_fn,
+    )
+
+    items = [f"im{i}.png" for i in range(10)]
+    # explicit multi-host slicing is deterministic and partitions exactly
+    shards = [host_shard(items, process_index=i, process_count=4) for i in range(4)]
+    assert sorted(sum(shards, [])) == sorted(items)
+    assert shards[0] == ["im0.png", "im4.png", "im8.png"]
+    # single-process: identity
+    assert host_shard(items) == items
+
+    mesh = make_mesh()
+    batch = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    arr = make_global_batch(batch, mesh)
+    assert arr.shape == (8, 4)
+    assert len(arr.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(arr), batch)
+    put = shard_host_batch_fn(mesh)
+    np.testing.assert_array_equal(np.asarray(put(batch)), batch)

@@ -133,10 +133,9 @@ def make_cps_train_step(model, tx, dice_loss, *, num_classes: int,
                         commitment_loss_weight: float = 1.0,
                         prototype_loss_weight: float = 0.01,
                         ce_weight=None,
-                        remat=True,
-                        model_kwargs_key: str = "th"):
-    """Build the fused CPS train step.  ``model_kwargs_key`` selects the
-    flagship forward signature (gt, th) vs the percent-based variants.
+                        remat=True):
+    """Build the fused CPS train step for (x, gt, th)-signature nets (the
+    flagship family; other signatures live in training/variants.py).
 
     ``remat``: without it the four training passes' activations coexist in
     HBM and a 512^2 batch-4 step exceeds a v5e's 16 GB by ~1 GB (measured);
