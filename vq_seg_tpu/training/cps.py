@@ -625,6 +625,10 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
         log_txt.close()
     if logger is not None:
         logger.finish()
-    if save_dir is not None and cfg.train.get("save_as_tar", False):
-        save_tar(save_dir)
+    if save_dir is not None:
+        from vq_seg_tpu.utils.ckpoints import wait_for_saves
+
+        wait_for_saves()  # flush the in-flight async last.ckpt write
+        if cfg.train.get("save_as_tar", False):
+            save_tar(save_dir)
     return state

@@ -108,6 +108,9 @@ def _epoch_summary(tag, epoch, sums, n, t0, log_txt, logger):
 
 
 def _finish(log_txt, logger):
+    from vq_seg_tpu.utils.ckpoints import wait_for_saves
+
+    wait_for_saves()  # flush the in-flight async last.ckpt write
     if log_txt is not None:
         log_txt.close()
     if logger is not None:

@@ -30,8 +30,39 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def _save_tree(path: str, tree: Any):
+# Async checkpointing: the reference writes last.pth EVERY epoch
+# (train_…v2.py:257-259) — cheap for torch.save, but a synchronous orbax
+# directory write of both models + Adam moments costs ~10-25 s, dwarfing a
+# ~1 s/epoch step loop (measured on the synthetic convergence run).  One
+# process-wide AsyncCheckpointer overlaps serialization with the next
+# epoch's compute; each save waits for the previous one, so at most one
+# write is in flight and the contract (directory fully written before the
+# next save returns) holds.
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves():
+    """Block until any in-flight async checkpoint write completes."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def _save_tree(path: str, tree: Any, async_save: bool = False):
     path = os.path.abspath(path)
+    if async_save:
+        ckptr = _async_ckptr()
+        ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr.save(path, _to_host(tree))
+        return
     if os.path.exists(path):
         shutil.rmtree(path)
     with ocp.PyTreeCheckpointer() as ckptr:
@@ -44,7 +75,7 @@ def _load_tree(path: str):
 
 
 def save_ckpoints(model_1, model_2, epoch, batch_idx, optimizer_1, optimizer_2,
-                  filepath: str):
+                  filepath: str, async_save: bool = True):
     _save_tree(filepath, {
         "model_1": model_1,
         "model_2": model_2,
@@ -52,10 +83,11 @@ def save_ckpoints(model_1, model_2, epoch, batch_idx, optimizer_1, optimizer_2,
         "batch_idx": np.asarray(batch_idx),
         "optimizer_1": optimizer_1,
         "optimizer_2": optimizer_2,
-    })
+    }, async_save=async_save)
 
 
 def load_ckpoints(weights_path: str, istrain: bool):
+    wait_for_saves()
     ck = _load_tree(weights_path)
     if istrain:
         return ck["model_2"], ck["epoch"], ck["batch_idx"], ck["optimizer_1"], ck["optimizer_2"]
@@ -63,6 +95,7 @@ def load_ckpoints(weights_path: str, istrain: bool):
 
 
 def load_full(weights_path: str):
+    wait_for_saves()
     return _load_tree(weights_path)
 
 
