@@ -607,13 +607,20 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                     logger.image_update(example, f"{epoch}ep")
                 if cfg.train.save_img:
                     visualize.save_img(img_dir, f"output_{epoch}ep.png", example)
-                v1_ck, v2_ck = unstack_cps_state(state)
-                o1_ck, o2_ck = unstack_opt_state(state.opt_state_1)
-                if epoch % 10 == 0:
+                # cfg.train.ckpt_every: last.ckpt cadence (reference writes
+                # every epoch, train_…v2.py:257; the knob matters when the
+                # device->host fetch is slow, e.g. a tunneled chip)
+                ckpt_every = int(cfg.train.get("ckpt_every", 1) or 1)
+                snap_every = max(10, ckpt_every)
+                if epoch % snap_every == 0 or epoch % ckpt_every == 0 \
+                        or epoch == num_epochs - 1:
+                    v1_ck, v2_ck = unstack_cps_state(state)
+                    o1_ck, o2_ck = unstack_opt_state(state.opt_state_1)
+                    if epoch % snap_every == 0:
+                        save_ckpoints(v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
+                                      os.path.join(ckpoints_dir, f"{epoch}ep.ckpt"))
                     save_ckpoints(v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
-                                  os.path.join(ckpoints_dir, f"{epoch}ep.ckpt"))
-                save_ckpoints(v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
-                              os.path.join(ckpoints_dir, "last.ckpt"))
+                                  os.path.join(ckpoints_dir, "last.ckpt"))
             if logger is not None:
                 logger.log_dict.update({k: float(v) for k, v in avg.items()})
                 logger.log_dict.update(dict(back_iou=back_iou, weed_iou=weed_iou,
