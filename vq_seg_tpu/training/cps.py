@@ -386,13 +386,19 @@ def make_eval_fn(model, num_classes: int):
     return eval_step
 
 
-def evaluate(model, variables, loader, pixel_to_label, num_classes: int):
+def evaluate(model, variables, loader, pixel_to_label, num_classes: int,
+             eval_step=None):
     """Sweep a test loader for mIoU following the OFFICIAL eval protocol
     (test_detailviz.py:107-145): targets at native resolution, logits
     bilinearly upsampled to the mask size before argmax — so in-training
     ``test_every`` curves are comparable to scripts/test.py results.
-    Returns mean per-image mIoU."""
-    eval_step = make_eval_fn(model, num_classes)
+    Returns mean per-image mIoU.
+
+    Pass a cached ``eval_step`` (make_eval_fn) when calling repeatedly — a
+    fresh jax.jit per call re-traces and re-compiles every probe (measured
+    ~45 s/probe through the tunneled chip)."""
+    if eval_step is None:
+        eval_step = make_eval_fn(model, num_classes)
     total, n = 0.0, 0
     for batch in loader:
         pred = eval_step(variables, jnp.asarray(batch["img"]))
@@ -553,6 +559,7 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
         test_dataset = BaseDataset(os.path.join(cfg.test.data_dir, "test"), "labelled",
                                    batch_size=1, resize=cfg.resize, target_resize=False)
         test_loader = Loader(test_dataset, 1, shuffle=False)
+        eval_step = make_eval_fn(model, num_classes)
 
     from vq_seg_tpu.models.layers import compute_dtype
 
@@ -593,7 +600,8 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
             if test_loader is not None and epoch % cfg.train.test_every == 0:
                 v1_eval, _ = unstack_cps_state(state)
                 test_miou = evaluate(model, v1_eval, test_loader,
-                                     cfg.pixel_to_label, num_classes)
+                                     cfg.pixel_to_label, num_classes,
+                                     eval_step=eval_step)
                 print(f"test miou : {test_miou}")
                 if logger is not None:
                     logger.log_dict["test_miou"] = test_miou

@@ -81,14 +81,18 @@ def _semi_loaders(cfg):
             Loader(unsup, bs, shuffle=True, seed=1))
 
 
-def _test_loader(cfg):
+def _test_loader(cfg, model=None):
+    """(loader, cached_eval_step) or None — the cached step avoids a
+    re-trace/re-compile on every probe (evaluate docstring)."""
     from vq_seg_tpu.data import BaseDataset, Loader
+    from vq_seg_tpu.training.cps import make_eval_fn
 
     if not (cfg.get("test") and cfg.train.get("test_every")):
         return None
     ds = BaseDataset(os.path.join(cfg.test.data_dir, "test"), "labelled",
                      batch_size=1, resize=cfg.resize, target_resize=False)
-    return Loader(ds, 1, shuffle=False)
+    step = make_eval_fn(model, cfg.num_classes) if model is not None else None
+    return Loader(ds, 1, shuffle=False), step
 
 
 def _epoch_summary(tag, epoch, sums, n, t0, log_txt, logger):
@@ -174,7 +178,7 @@ def train_plain_cps(cfg, max_steps_per_epoch: Optional[int] = None):
         # per-stage code-usage term to the objective
         usage_loss_weight=cfg.train.get("code_usage_loss_weight", 0.0),
         depth=cfg.model.params.get("depth", 5))
-    test_loader = _test_loader(cfg)
+    test_loader = _test_loader(cfg, model)
 
     initted = False
     for epoch in range(cfg.train.num_epochs):
@@ -198,8 +202,9 @@ def train_plain_cps(cfg, max_steps_per_epoch: Optional[int] = None):
                 sums[k] = sums.get(k, 0) + np.asarray(v)
         _epoch_summary("plaincps", epoch, sums, steps, t0, log_txt, logger)
         if test_loader is not None and epoch % cfg.train.test_every == 0:
-            tm = evaluate(model, state.variables_1, test_loader,
-                          cfg.pixel_to_label, cfg.num_classes)
+            tm = evaluate(model, state.variables_1, test_loader[0],
+                          cfg.pixel_to_label, cfg.num_classes,
+                          eval_step=test_loader[1])
             print(f"test miou : {tm}")
         _save_dual(ckpoints_dir, state, epoch, steps - 1)
     _finish(log_txt, logger)
@@ -228,7 +233,7 @@ def train_unimatch(cfg, max_steps_per_epoch: Optional[int] = None):
         model, tx, num_classes=cfg.num_classes,
         confidence_threshold=cfg.train.get("confidence_threshold", 0.95),
         ce_weight=cfg.train.criterion.get("weight"))
-    test_loader = _test_loader(cfg)
+    test_loader = _test_loader(cfg, model)
 
     from vq_seg_tpu.utils.ckpoints import _save_tree
 
@@ -248,8 +253,9 @@ def train_unimatch(cfg, max_steps_per_epoch: Optional[int] = None):
                 sums[k] = sums.get(k, 0) + np.asarray(v)
         _epoch_summary("unimatch", epoch, sums, steps, t0, log_txt, logger)
         if test_loader is not None and epoch % cfg.train.test_every == 0:
-            tm = evaluate(model, state.variables, test_loader,
-                          cfg.pixel_to_label, cfg.num_classes)
+            tm = evaluate(model, state.variables, test_loader[0],
+                          cfg.pixel_to_label, cfg.num_classes,
+                          eval_step=test_loader[1])
             print(f"test miou : {tm}")
         if ckpoints_dir is not None:
             _save_tree(os.path.join(ckpoints_dir, "last.ckpt"),
@@ -359,7 +365,7 @@ def train_vqpt_cps(cfg, max_steps_per_epoch: Optional[int] = None):
         cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
         commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
         prototype_loss_weight=cfg.train.get("total_prototype_loss_weight", 0.01))
-    test_loader = _test_loader(cfg)
+    test_loader = _test_loader(cfg, model)
 
     initted = False
     for epoch in range(cfg.train.num_epochs):
@@ -389,8 +395,9 @@ def train_vqpt_cps(cfg, max_steps_per_epoch: Optional[int] = None):
                 sums[k] = sums.get(k, 0) + np.asarray(v)
         _epoch_summary("vqpt", epoch, sums, steps, t0, log_txt, logger)
         if test_loader is not None and epoch % cfg.train.test_every == 0:
-            tm = evaluate(model, state.variables_1, test_loader,
-                          cfg.pixel_to_label, cfg.num_classes)
+            tm = evaluate(model, state.variables_1, test_loader[0],
+                          cfg.pixel_to_label, cfg.num_classes,
+                          eval_step=test_loader[1])
             print(f"test miou : {tm}")
         _save_dual(ckpoints_dir, state, epoch, steps - 1)
     _finish(log_txt, logger)
@@ -423,7 +430,7 @@ def train_angularv3_cps(cfg, max_steps_per_epoch: Optional[int] = None):
         commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
         prototype_loss_weight=cfg.train.get("total_prototype_loss_weight", 0.01),
         ce_weight=cfg.train.criterion.get("weight"))
-    test_loader = _test_loader(cfg)
+    test_loader = _test_loader(cfg, model)
 
     initted = False
     num_epochs = cfg.train.num_epochs
@@ -453,8 +460,9 @@ def train_angularv3_cps(cfg, max_steps_per_epoch: Optional[int] = None):
                 sums[k] = sums.get(k, 0) + np.asarray(v)
         _epoch_summary("angularv3", epoch, sums, steps, t0, log_txt, logger)
         if test_loader is not None and epoch % cfg.train.test_every == 0:
-            tm = evaluate(model, state.variables_1, test_loader,
-                          cfg.pixel_to_label, cfg.num_classes)
+            tm = evaluate(model, state.variables_1, test_loader[0],
+                          cfg.pixel_to_label, cfg.num_classes,
+                          eval_step=test_loader[1])
             print(f"test miou : {tm}")
         _save_dual(ckpoints_dir, state, epoch, steps - 1)
     _finish(log_txt, logger)
@@ -552,7 +560,7 @@ def train_obj_cps(cfg, max_steps_per_epoch: Optional[int] = None):
         cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
         commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
         obj_loss_weight=cfg.train.get("obj_loss_weight", 1.0))
-    test_loader = _test_loader(cfg)
+    test_loader = _test_loader(cfg, model)
 
     initted = False
     for epoch in range(cfg.train.num_epochs):
@@ -576,8 +584,9 @@ def train_obj_cps(cfg, max_steps_per_epoch: Optional[int] = None):
                 sums[k] = sums.get(k, 0) + np.asarray(v)
         _epoch_summary("objcps", epoch, sums, steps, t0, log_txt, logger)
         if test_loader is not None and epoch % cfg.train.test_every == 0:
-            tm = evaluate(model, state.variables_1, test_loader,
-                          cfg.pixel_to_label, cfg.num_classes)
+            tm = evaluate(model, state.variables_1, test_loader[0],
+                          cfg.pixel_to_label, cfg.num_classes,
+                          eval_step=test_loader[1])
             print(f"test miou : {tm}")
         _save_dual(ckpoints_dir, state, epoch, steps - 1)
     _finish(log_txt, logger)
