@@ -15,6 +15,9 @@ Modes (the reference's trainer-script envelope as one CLI):
              threshold ramp (deprecated/train_angularv3.py)
   easyhard   easy-view pseudo labels, CutMix'd hard training views
              (deprecated/train_vqpt_easyhard_aug.py)
+  objcps     plain CPS + binary object loss (train_with_test_object_loss.py)
+  supconcps  CPS + labeled supervised-contrastive aux (train_supcon_unet.py)
+  semiweed   SemiWeedNet contrastive semi-sup (semiweednet_train.py)
 """
 from __future__ import annotations
 
@@ -33,7 +36,7 @@ def main():
     parser.add_argument("--mode", default="cps",
                         choices=["cps", "sup", "selfsup", "plaincps", "unimatch",
                                  "salientcps", "vqpt", "angularv3", "easyhard",
-                                 "objcps"])
+                                 "objcps", "supconcps", "semiweed"])
     parser.add_argument("--max_steps_per_epoch", type=int, default=None)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batches over all local devices")
@@ -67,7 +70,9 @@ def main():
               "vqpt": variant_drivers.train_vqpt_cps,
               "angularv3": variant_drivers.train_angularv3_cps,
               "easyhard": variant_drivers.train_easyhard_cps,
-              "objcps": variant_drivers.train_obj_cps}[opt.mode]
+              "objcps": variant_drivers.train_obj_cps,
+              "supconcps": variant_drivers.train_supcon_cps,
+              "semiweed": variant_drivers.train_semiweed}[opt.mode]
         fn(cfg, max_steps_per_epoch=opt.max_steps_per_epoch)
 
 

@@ -181,3 +181,28 @@ def test_plaincps_code_usage_loss(synthetic_dataset, tmp_path):
     cfg["train"]["save_dir"] = None
     state = train_plain_cps(cfg, max_steps_per_epoch=1)
     assert state is not None
+
+
+def test_supcon_cps_driver(synthetic_dataset, tmp_path):
+    from vq_seg_tpu.training.variant_drivers import train_supcon_cps
+
+    cfg = _base_cfg(synthetic_dataset, tmp_path, _vq_model("supconvqunet"),
+                    extra_train={"total_sup_con_loss_weight": 1.0,
+                                 "batch_size": 2})
+    state = train_supcon_cps(cfg, max_steps_per_epoch=1)
+    assert state is not None
+    _assert_run_saved(tmp_path)
+
+
+def test_semiweed_driver(synthetic_dataset, tmp_path):
+    from vq_seg_tpu.training.variant_drivers import train_semiweed
+
+    cfg = _base_cfg(synthetic_dataset, tmp_path,
+                    {"name": "semiweednet", "params": {
+                        "encoder_name": "resnet18", "num_classes": 3}},
+                    extra_train={"overlap_size": 12, "ce_loss_weight": 1.0,
+                                 "dc_loss_weight": 1.0,
+                                 "criterion": {"name": "cross_entropy"}})
+    state = train_semiweed(cfg, max_steps_per_epoch=1)
+    assert state is not None
+    _assert_run_saved(tmp_path)

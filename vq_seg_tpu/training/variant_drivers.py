@@ -591,3 +591,131 @@ def train_obj_cps(cfg, max_steps_per_epoch: Optional[int] = None):
         _save_dual(ckpoints_dir, state, epoch, steps - 1)
     _finish(log_txt, logger)
     return state
+
+
+def train_supcon_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+    """SupCon CPS driver (deprecated/train_supcon_unet.py): supconvqunet
+    with the labeled-split supervised-contrastive aux loss
+    (cfg.train.total_sup_con_loss_weight)."""
+    from vq_seg_tpu.training.variants import make_supcon_cps_train_step
+
+    save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "supconcps")
+    model = make_model(cfg.model)
+    sup_loader, unsup_loader = _semi_loaders(cfg)
+    steps = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    criterion = make_loss(cfg.train.criterion.name, cfg.num_classes, ignore_index=255,
+                          weight=cfg.train.criterion.get("weight"))
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample_x = jnp.zeros((cfg.train.batch_size, resize, resize, 3))
+    sample_gt = jnp.zeros((cfg.train.batch_size, resize, resize), jnp.int32)
+    state = _dual_state(model, tx, (sample_x, sample_gt, "label"))
+    state = state.replace(variables_1=_apply_encoder_weights(cfg, state.variables_1),
+                          variables_2=_apply_encoder_weights(cfg, state.variables_2))
+    step = make_supcon_cps_train_step(
+        model, tx, criterion, num_classes=cfg.num_classes,
+        cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
+        commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
+        sup_con_loss_weight=cfg.train.get("total_sup_con_loss_weight", 1.0))
+    test_loader = _test_loader(cfg, model)
+
+    initted = False
+    for epoch in range(cfg.train.num_epochs):
+        it = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+        sums: dict = {}
+        t0 = time.time()
+        for batch_idx in range(steps):
+            sup_d, unsup_d = next(it)
+            l_img = jnp.asarray(sup_d["img"])
+            l_tgt = img_to_label(jnp.asarray(sup_d["target"]), cfg.pixel_to_label)
+            ul_img = jnp.asarray(unsup_d["img"])
+            if not initted:
+                new_vars = []
+                for v, seed in ((state.variables_1, 0), (state.variables_2, 1)):
+                    k = jax.random.PRNGKey(seed)
+                    _, mut = model.apply(v, l_img, l_tgt, "label", train=True,
+                                         init_codebook=True,
+                                         mutable=["params", "batch_stats", "codebook"],
+                                         rngs={"kmeans": k, "dropout": k})
+                    new_vars.append({**v, **mut})
+                state = state.replace(variables_1=new_vars[0], variables_2=new_vars[1])
+                initted = True
+            state, metrics = step(state, l_img, l_tgt, ul_img)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v)
+        _epoch_summary("supconcps", epoch, sums, steps, t0, log_txt, logger)
+        if test_loader is not None and epoch % cfg.train.test_every == 0:
+            tm = evaluate(model, state.variables_1, test_loader[0],
+                          cfg.pixel_to_label, cfg.num_classes,
+                          eval_step=test_loader[1])
+            print(f"test miou : {tm}")
+        _save_dual(ckpoints_dir, state, epoch, steps - 1)
+    _finish(log_txt, logger)
+    return state
+
+
+def train_semiweed(cfg, max_steps_per_epoch: Optional[int] = None):
+    """SemiWeedNet contrastive semi-sup driver (deprecated/
+    semiweednet_train.py): one model, CE(labeled, issup=True) +
+    diagonal-cosine loss between MLP projections of two dihedral-transformed
+    overlapping unlabeled crops."""
+    from vq_seg_tpu.losses.dc import DCLoss
+    from vq_seg_tpu.training.variants import make_semiweed_train_step
+
+    save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "semiweed")
+    model = make_model(cfg.model)
+    sup_loader, unsup_loader = _semi_loaders(cfg)
+    steps = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    criterion = make_loss(cfg.train.criterion.name, cfg.num_classes, ignore_index=255,
+                          weight=cfg.train.criterion.get("weight"))
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample = jnp.zeros((cfg.train.batch_size, resize, resize, 3))
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, sample, train=True)
+    variables = _apply_encoder_weights(cfg, variables)
+    state = TrainState(variables=variables, opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_semiweed_train_step(
+        model, tx, criterion, DCLoss(), num_classes=cfg.num_classes,
+        overlap_size=cfg.train.get("overlap_size", 240),
+        ce_loss_weight=cfg.train.get("ce_loss_weight", 1.0),
+        dc_loss_weight=cfg.train.get("dc_loss_weight", 1.0))
+    test_loader = _test_loader(cfg, model)
+
+    from vq_seg_tpu.utils.ckpoints import _save_tree
+
+    rng = np.random.default_rng(cfg.train.get("seed", 0))
+    for epoch in range(cfg.train.num_epochs):
+        it = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+        sums: dict = {}
+        t0 = time.time()
+        for batch_idx in range(steps):
+            sup_d, unsup_d = next(it)
+            l_img = jnp.asarray(sup_d["img"])
+            l_tgt = img_to_label(jnp.asarray(sup_d["target"]), cfg.pixel_to_label)
+            ul_img = jnp.asarray(unsup_d["img"])
+            draws = [int(rng.integers(0, 10)) for _ in range(2)]
+            cases = [jnp.int32(d if d in (1, 2) else 0) for d in draws]
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, l_img, l_tgt, ul_img, cases[0], cases[1], sub)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v)
+        _epoch_summary("semiweed", epoch, sums, steps, t0, log_txt, logger)
+        if test_loader is not None and epoch % cfg.train.test_every == 0:
+            tm = evaluate(model, state.variables, test_loader[0],
+                          cfg.pixel_to_label, cfg.num_classes,
+                          eval_step=test_loader[1])
+            print(f"test miou : {tm}")
+        if ckpoints_dir is not None:
+            _save_tree(os.path.join(ckpoints_dir, "last.ckpt"),
+                       {"model_1": state.variables, "epoch": epoch,
+                        "optimizer_1": state.opt_state})
+    _finish(log_txt, logger)
+    return state

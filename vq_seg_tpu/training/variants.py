@@ -511,3 +511,134 @@ def make_salient_cps_train_step(model, tx, *, num_classes: int,
         ), aux["metrics"]
 
     return step
+
+
+def make_supcon_cps_train_step(model, tx, criterion, *, num_classes: int,
+                               cps_loss_weight: float = 1.0,
+                               commitment_loss_weight: float = 1.0,
+                               sup_con_loss_weight: float = 1.0):
+    """SupCon CPS (deprecated/train_supcon_unet.py:95-160): supconvqunet's
+    forward(x, gt, split='label') adds the pixel supervised-contrastive aux
+    loss on the LABELED pass only; unsupervised passes take the OTHER
+    model's argmax pseudo-labels (no aux); cps = criterion on the
+    concatenated argmaxes."""
+
+    def fwd(variables, x, gt, split):
+        (pred, commit, usage, aux), mut = model.apply(
+            variables, x, gt, split, train=True, mutable=["batch_stats"])
+        return (pred, commit, usage, aux), {**variables, "batch_stats": mut["batch_stats"]}
+
+    def loss_fn(p1, p2, state, l_img, l_target, ul_img):
+        v1 = {**state.variables_1, "params": p1}
+        v2 = {**state.variables_2, "params": p2}
+        pl_1 = jax.lax.stop_gradient(
+            jnp.argmax(model.apply(v1, ul_img, train=False)[0], -1))
+        pl_2 = jax.lax.stop_gradient(
+            jnp.argmax(model.apply(v2, ul_img, train=False)[0], -1))
+        (pred_sup_1, c_l1, u_l1, sc_1), v1 = fwd(v1, l_img, l_target, "label")
+        (pred_sup_2, c_l2, u_l2, sc_2), v2 = fwd(v2, l_img, l_target, "label")
+        (pred_ul_1, c_ul1, u_ul1, _), v1 = fwd(v1, ul_img, pl_2, None)
+        (pred_ul_2, c_ul2, u_ul2, _), v2 = fwd(v2, ul_img, pl_1, None)
+        pred_1 = jnp.concatenate([pred_sup_1, pred_ul_1], 0)
+        pred_2 = jnp.concatenate([pred_sup_2, pred_ul_2], 0)
+        pseudo_1 = jax.lax.stop_gradient(jnp.argmax(pred_1, -1))
+        pseudo_2 = jax.lax.stop_gradient(jnp.argmax(pred_2, -1))
+        cps = criterion(pred_1, pseudo_2) + criterion(pred_2, pseudo_1)
+        sup = criterion(pred_sup_1, l_target) + criterion(pred_sup_2, l_target)
+        commit = (c_l1 + c_l2 + c_ul1 + c_ul2) * commitment_loss_weight
+        supcon = (sc_1 + sc_2) * sup_con_loss_weight
+        loss = sup + cps_loss_weight * cps + commit + supcon
+        code_usage = (u_l1 + u_l2 + u_ul1 + u_ul2) / 4.0
+        conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        return loss, dict(batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
+                          metrics=dict(loss=loss, cps_loss=cps, sup_loss=sup,
+                                       sup_con_loss=supcon, commitment_loss=commit,
+                                       code_usage=code_usage, miou=m,
+                                       iou_list=iou_list))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: CPSTrainState, l_img, l_target, ul_img):
+        (p1, _), (p2, _) = _split(state.variables_1), _split(state.variables_2)
+        (g1, g2), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            p1, p2, state, l_img, l_target, ul_img)
+        u1, o1 = tx.update(g1, state.opt_state_1, p1)
+        u2, o2 = tx.update(g2, state.opt_state_2, p2)
+        return state.replace(
+            variables_1={**state.variables_1, "params": optax.apply_updates(p1, u1),
+                         "batch_stats": aux["batch_stats_1"]},
+            variables_2={**state.variables_2, "params": optax.apply_updates(p2, u2),
+                         "batch_stats": aux["batch_stats_2"]},
+            opt_state_1=o1, opt_state_2=o2, step=state.step + 1,
+        ), aux["metrics"]
+
+    return step
+
+
+def overlapped_patches(ul_input, overlap_size: int = 240):
+    """Two overlapping center crops (deprecated/semiweednet_train.py:33-42).
+    NHWC; patch = overlap + overlap//3, offset by overlap//3."""
+    h, w = ul_input.shape[1:3]
+    add = overlap_size // 3
+    patch = overlap_size + add
+    hc, wc = h // 2, w // 2
+    y1, x1 = hc - overlap_size // 2 - add, wc - overlap_size // 2 - add
+    y2, x2 = hc - overlap_size // 2, wc - overlap_size // 2
+    p1 = ul_input[:, y1:y1 + patch, x1:x1 + patch]
+    p2 = ul_input[:, y2:y2 + patch, x2:x2 + patch]
+    return p1, p2
+
+
+def make_semiweed_train_step(model, tx, criterion, dc_criterion, *,
+                             num_classes: int, overlap_size: int = 240,
+                             ce_loss_weight: float = 1.0,
+                             dc_loss_weight: float = 1.0):
+    """SemiWeedNet contrastive semi-sup (deprecated/semiweednet_train.py:
+    100-170): ONE model; CE on the labeled pass (issup=True) + diagonal-
+    cosine loss between the MLP projections of two dihedral-transformed
+    overlapping crops of the unlabeled batch.  Dihedral cases are traced
+    ints (flips only — the rotation branches are reference no-ops)."""
+
+    def dihedral(x, case):
+        return jax.lax.switch(case, [lambda a: a,
+                                     lambda a: jnp.flip(a, -2),
+                                     lambda a: jnp.flip(a, -3)], x)
+
+    def loss_fn(params, state, l_img, l_target, ul_img, case1, case2, key):
+        variables = {**state.variables, "params": params}
+        k1, k2, k3 = jax.random.split(key, 3)
+        p1, p2 = overlapped_patches(ul_img, overlap_size)
+        p1 = dihedral(p1, case1)
+        p2 = dihedral(p2, case2)
+        (pred_sup, _), mut = model.apply(variables, l_img, issup=True, train=True,
+                                         mutable=["batch_stats"],
+                                         rngs={"dropout": k1})
+        variables = {**variables, "batch_stats": mut["batch_stats"]}
+        (_, mlp1), mut = model.apply(variables, p1, train=True,
+                                     mutable=["batch_stats"], rngs={"dropout": k2})
+        variables = {**variables, "batch_stats": mut["batch_stats"]}
+        (_, mlp2), mut = model.apply(variables, p2, train=True,
+                                     mutable=["batch_stats"], rngs={"dropout": k3})
+        ce = criterion(pred_sup, l_target)
+        dc = dc_criterion(mlp1, mlp2)
+        loss = ce_loss_weight * ce + dc_loss_weight * dc
+        conf = confusion_matrix(pred_sup, l_target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        return loss, dict(batch_stats=mut["batch_stats"],
+                          metrics=dict(loss=loss, ce_loss=ce, dc_loss=dc,
+                                       miou=m, iou_list=iou_list))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, l_img, l_target, ul_img, case1, case2, key):
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.variables["params"], state, l_img, l_target, ul_img, case1,
+            case2, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.variables["params"])
+        return state.replace(
+            variables={**state.variables,
+                       "params": optax.apply_updates(state.variables["params"], updates),
+                       "batch_stats": aux["batch_stats"]},
+            opt_state=opt_state, step=state.step + 1,
+        ), aux["metrics"]
+
+    return step
