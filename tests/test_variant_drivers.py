@@ -206,3 +206,31 @@ def test_semiweed_driver(synthetic_dataset, tmp_path):
     state = train_semiweed(cfg, max_steps_per_epoch=1)
     assert state is not None
     _assert_run_saved(tmp_path)
+
+
+def test_sup_driver_obia_and_normalized_datasets(synthetic_dataset, tmp_path):
+    """cfg.train.dataset selects OBIA / normalized variants in the sup
+    driver (deprecated/train_obia.py, train_IJRR_with_normalized.py)."""
+    import shutil
+
+    from vq_seg_tpu.training import supervised
+
+    # OBIA layout: an obia/ dir with pseudo-targets for unlabeled images
+    obia_dir = os.path.join(synthetic_dataset, "train", "obia")
+    if not os.path.isdir(obia_dir):
+        os.makedirs(obia_dir)
+        tgt_dir = os.path.join(synthetic_dataset, "train", "target")
+        input_dir = os.path.join(synthetic_dataset, "train", "input")
+        labelled = set(os.listdir(tgt_dir))
+        src = os.path.join(tgt_dir, sorted(labelled)[0])
+        for f in sorted(set(os.listdir(input_dir)) - labelled)[:2]:
+            shutil.copy(src, os.path.join(obia_dir, f))
+
+    for kind in ("obia", "normalized"):
+        cfg = _base_cfg(synthetic_dataset, tmp_path / kind,
+                        {"name": "unet", "params": {
+                            "encoder_name": "resnet18", "num_classes": 3}},
+                        extra_train={"dataset": kind})
+        cfg["train"]["save_dir"] = None
+        state = supervised.train(cfg, max_steps_per_epoch=1)
+        assert state is not None

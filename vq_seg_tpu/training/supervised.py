@@ -152,8 +152,26 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
 
     set_decoder_bn_overrides(cfg.train.get("bn_eps"), cfg.train.get("bn_momentum"))
     model = make_model(cfg.model)
-    dataset = BaseDataset(os.path.join(cfg.train.data_dir, "train"), "labelled",
-                          batch_size=batch_size, resize=cfg.resize)
+    # cfg.train.dataset selects the reference's dataset variants:
+    # "obia" -> OBIA pseudo-target mixing (deprecated/train_obia.py),
+    # "normalized" -> mean/std-normalised inputs
+    # (deprecated/train_IJRR_with_normalized.py), default BaseDataset.
+    ds_kind = cfg.train.get("dataset", "base")
+    root = os.path.join(cfg.train.data_dir, "train")
+    if ds_kind == "obia":
+        from vq_seg_tpu.data import OBIADataset
+
+        dataset = OBIADataset(root, batch_size=batch_size, resize=cfg.resize)
+    elif ds_kind == "normalized":
+        from vq_seg_tpu.data import NormalizedDataset
+
+        dataset = NormalizedDataset(root, "labelled", batch_size=batch_size,
+                                    resize=cfg.resize,
+                                    mean=cfg.train.get("norm_mean", 0.5),
+                                    std=cfg.train.get("norm_std", 0.5))
+    else:
+        dataset = BaseDataset(root, "labelled", batch_size=batch_size,
+                              resize=cfg.resize)
     device_put = None
     if mesh is not None:
         from vq_seg_tpu.parallel import shard_batch_fn
