@@ -89,6 +89,47 @@ def test_codebook_frozen_through_training(cps_setup):
     assert np.array_equal(cb_before, cb_after)
 
 
+def test_fused_step_matches_stacked(cps_setup):
+    """The fused-pass step (sup+unsup trunks in one (model x pass)-vmapped
+    forward, prototype loss applied outside) must reproduce the stacked
+    step's losses, updated params, AND composed BN running stats
+    (training/cps.py::make_cps_train_step_fused)."""
+    import optax
+
+    from vq_seg_tpu.losses import make_loss
+    from vq_seg_tpu.training.cps import (
+        make_cps_train_step_fused,
+        make_cps_train_step_stacked,
+        stack_cps_state,
+    )
+
+    model, state, step, (l_img, l_target, ul_img) = cps_setup
+    tx = optax.adam(1e-3)
+    dice = make_loss("dice_loss", 3, ignore_index=255)
+    stacked = stack_cps_state(_fresh(state), tx)
+    fresh = lambda: jax.tree_util.tree_map(jnp.copy, stacked)  # noqa: E731
+
+    sstep = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
+                                        confidence_threshold=0.7)
+    fstep = make_cps_train_step_fused(model, tx, dice, num_classes=3,
+                                      confidence_threshold=0.7,
+                                      proto_margin=0.5, proto_scale=30.0)
+    s_new, m_s, _, _ = sstep(fresh(), l_img, l_target, ul_img)
+    f_new, m_f, _, _ = fstep(fresh(), l_img, l_target, ul_img)
+    for k in ("loss", "cps_loss", "sup_loss_1", "sup_loss_2",
+              "commitment_loss", "prototype_loss", "miou"):
+        a, b = float(m_s[k]), float(m_f[k])
+        assert abs(a - b) <= 5e-3 * max(abs(a), 1e-3), (k, a, b)
+    for pa, pb in zip(jax.tree_util.tree_leaves(s_new.variables_1["params"]),
+                      jax.tree_util.tree_leaves(f_new.variables_1["params"])):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-3)
+    # composed running stats == sequential running stats
+    for sa, sb in zip(jax.tree_util.tree_leaves(s_new.variables_1["batch_stats"]),
+                      jax.tree_util.tree_leaves(f_new.variables_1["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                   atol=1e-4, rtol=1e-3)
+
+
 def test_stacked_step_matches_unstacked(cps_setup):
     """The vmapped two-models-as-one-batch step must reproduce the reference
     (unstacked) loss math exactly (training/cps.py::make_cps_train_step_stacked)."""

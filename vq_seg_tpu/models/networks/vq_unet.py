@@ -321,14 +321,20 @@ class VQRePTUnet1x1v2(_PTNet):
 
     @nn.compact
     def __call__(self, x, gt=None, th=None, train: bool = False,
-                 init_codebook: bool = False, init_protos: bool = False):
+                 init_codebook: bool = False, init_protos: bool = False,
+                 return_features: bool = False):
         dec, commit, usage, dec_ch, _feats = self._trunk(x, train, init_codebook)
         out = self._head(dec, dec_ch, train)
         proto = jnp.float32(0.0)
-        if train and gt is not None:
+        if train and gt is not None and not return_features:
             proto = self._proto(dec_ch)(dec, gt, th, train=train, init_protos=init_protos)
         if self.upsampling > 1:
             out = upsample_bilinear_ac(out, scale=self.upsampling)
+        if return_features:
+            # trunk-only mode for the fused-pass CPS step (training/cps.py):
+            # the prototype loss is applied OUTSIDE on these decoder features
+            # (its (x, gt-or-score) arity prevents stacking sup+unsup inside)
+            return out, commit, usage, dec
         return out, commit, usage, proto
 
 
