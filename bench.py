@@ -32,11 +32,13 @@ import optax
 CPU_BASELINE_IPS = 0.0329
 
 
-def main(batch: int = 4, hw: int = 512, iters: int = 10, half: bool = True):
+def main(batch: int = 4, hw: int = 512, iters: int = 4, half: bool = True,
+         scan_steps: int = 8):
     from vq_seg_tpu.losses import make_loss
     from vq_seg_tpu.training.cps import (
         cps_init_phase,
         create_cps_state,
+        make_cps_multi_step,
         make_cps_train_step_stacked,
         stack_cps_state,
     )
@@ -58,20 +60,25 @@ def main(batch: int = 4, hw: int = 512, iters: int = 10, half: bool = True):
         step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
                                            confidence_threshold=0.7,
                                            remat=not half)
+        # the production driver's scan_steps path: K optimizer steps per
+        # device dispatch over pre-staged batches (cfg.train.scan_steps;
+        # numerics identical — tests/test_cps_training.py)
+        multi = make_cps_multi_step(step, scan_steps)
+        xs = tuple(jnp.stack([a] * scan_steps) for a in (x, gt, x))
         # warmup / compile; scalar fetch = hard sync
-        state, m, _, _ = step(state, x, gt, x)
+        state, m, _, _ = multi(state, *xs)
         float(m["loss"])
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(iters):
-                state, m, _, _ = step(state, x, gt, x)
+                state, m, _, _ = multi(state, *xs)
             float(m["loss"])  # forces the whole donated-state chain
-            dt = (time.perf_counter() - t0) / iters
+            dt = (time.perf_counter() - t0) / (iters * scan_steps)
             best = max(best, 2 * batch / dt)
 
     print(json.dumps({
-        "metric": "flagship CPS train step images/sec/chip @512^2 (bs 4+4, resnet50, K=512 VQ, bf16)",
+        "metric": "flagship CPS train step images/sec/chip @512^2 (bs 4+4, resnet50, K=512 VQ, bf16, scan_steps=8)",
         "value": round(best, 3),
         "unit": "images/sec",
         "vs_baseline": round(best / (5 * CPU_BASELINE_IPS), 3),

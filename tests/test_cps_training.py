@@ -161,3 +161,41 @@ def test_stacked_step_matches_unstacked(cps_setup):
     v1, v2 = unstack_cps_state(new_stacked)
     assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(
         state.variables_1)
+
+
+def test_scan_steps_driver_matches_unscanned(synthetic_dataset, tmp_path):
+    """cfg.train.scan_steps batches K optimizer steps into one dispatch;
+    the trained parameters must match the per-step driver exactly (same
+    data order, same numerics)."""
+    from vq_seg_tpu.config import Config
+    from vq_seg_tpu.training import cps
+
+    def run(scan_steps, out):
+        cfg = Config({
+            "project_name": "scan_test", "wandb_logging": False, "num_classes": 3,
+            "pixel_to_label": {"0": 0, "128": 1, "255": 2}, "resize": 32,
+            "model": {"name": "vqreptunet1x1v2", "params": {
+                "encoder_name": "resnet18", "num_classes": 3,
+                "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4],
+                           "distance": "euclidean", "kmeans_init": True},
+                "margin": 0.5, "scale": 30.0}},
+            "train": {"data_dir": synthetic_dataset, "save_dir": None,
+                      "num_epochs": 1, "batch_size": 1, "learning_rate": 1e-4,
+                      "lr_scheduler": {"name": "cosineannealing", "min_lr": 1e-7,
+                                       "warmup_steps": 0},
+                      "half": False, "criterion": {"name": "dice_loss"},
+                      "cps_loss_weight": 1, "total_commitment_loss_weight": 1,
+                      "total_prototype_loss_weight": 0.01,
+                      "confidence_threshold": 0.7, "save_img": False,
+                      "save_txt": False, "scan_steps": scan_steps},
+        })
+        return cps.train(cfg, max_steps_per_epoch=3)
+
+    plain = run(0, "a")
+    scanned = run(2, "b")  # 2-step scan + 1-step tail flush
+    assert int(plain.step) == int(scanned.step) == 3
+    # fp-only tolerance: scan changes reduction order; Adam can amplify a
+    # ~1e-12 gradient delta into ~lr-scale param noise on isolated elements
+    for pa, pb in zip(jax.tree_util.tree_leaves(plain.variables_1["params"]),
+                      jax.tree_util.tree_leaves(scanned.variables_1["params"])):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-4)
