@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--hw", type=int, default=64)
     args = ap.parse_args()
 
-    from tools.parity_run import make_synthetic
+    import tools.parity_run as pr
     from vq_seg_tpu.losses import make_loss
     from vq_seg_tpu.metrics.measurement import confusion_matrix, miou
     from vq_seg_tpu.models.networks import make_model
@@ -41,7 +41,12 @@ def main():
         unstack_cps_state,
     )
 
-    (l_img, l_gt), ul_img, (t_img, t_gt) = make_synthetic()
+    old_hw = pr.HW
+    pr.HW = args.hw
+    try:
+        (l_img, l_gt), ul_img, (t_img, t_gt) = pr.make_synthetic()
+    finally:
+        pr.HW = old_hw
     jl, jg, ju = map(jnp.asarray, (l_img, l_gt, ul_img))
 
     plans = {
