@@ -45,9 +45,23 @@ def main():
 
     mesh = None
     if opt.data_parallel:
+        import math
+
+        import jax
+
         from vq_seg_tpu.parallel import make_mesh
 
-        mesh = make_mesh()
+        # the data axis must divide the global batch (jax sharding rule);
+        # clamp to gcd(batch, devices) and warn about idle chips rather than
+        # crash on the reference's batch-4 configs
+        n_dev = len(jax.devices())
+        n_data = math.gcd(int(cfg.train.batch_size), n_dev)
+        if n_data < n_dev:
+            print(f"--data_parallel: batch {cfg.train.batch_size} shards over "
+                  f"{n_data} of {n_dev} devices (data axis must divide the "
+                  f"batch; raise batch_size to use all chips)")
+        mesh = make_mesh(n_data=n_data, n_model=1,
+                         devices=jax.devices()[:n_data])
 
     if opt.mode == "cps":
         from vq_seg_tpu.training import cps
