@@ -37,8 +37,25 @@ def _restore_model_vars(path):
     return ck.get("model_1", ck)
 
 
+def make_forward(model):
+    """ONE jitted eval forward shared across a whole checkpoint sweep.
+
+    Building this inside the per-checkpoint loop re-traces and re-compiles
+    for every ``.ckpt`` (a fresh ``jax.jit`` object has an empty cache) —
+    ~45 s/compile through a tunneled chip, ~30 min of pure recompiles on a
+    40-checkpoint directory sweep (reference sweep semantics
+    test_detailviz.py:60-72).  Same fix as training/cps.py make_eval_fn."""
+
+    @jax.jit
+    def forward(vs, img):
+        out = model.apply(vs, img, train=False)
+        return out[0] if isinstance(out, tuple) else out
+
+    return forward
+
+
 def test_loop(cfg, model, weights_path, measurement, save_dir=None, save_img=False,
-              use_crf=False):
+              use_crf=False, forward=None):
     test_dataset = BaseDataset(os.path.join(cfg.test.data_dir, "test"), "labelled",
                                batch_size=1, resize=cfg.resize, target_resize=False)
     loader = Loader(test_dataset, 1, shuffle=False)
@@ -48,10 +65,8 @@ def test_loop(cfg, model, weights_path, measurement, save_dir=None, save_img=Fal
         print(f"skip {weights_path}: {e}")
         return None
 
-    @jax.jit
-    def forward(vs, img):
-        out = model.apply(vs, img, train=False)
-        return out[0] if isinstance(out, tuple) else out
+    if forward is None:
+        forward = make_forward(model)
 
     crf = None
     if use_crf:
@@ -124,9 +139,10 @@ def test(cfg, save_img=None, use_crf=False):
 
         logger = TestLogger(cfg, run_name, offline_dir=save_dir)
     best = None
+    forward = make_forward(model)  # compile ONCE for the whole sweep
     for ck in candidates:
         res = test_loop(cfg, model, ck, measurement, save_dir=save_dir, save_img=save_img,
-                        use_crf=use_crf)
+                        use_crf=use_crf, forward=forward)
         if res is None:
             continue
         print(ck, {k: round(float(v), 4) for k, v in res.items() if k != "iou_by_class"})
