@@ -139,6 +139,11 @@ class AngularSegmentationHeadv2(_HeadProtoMixin):
     upsampling: int = 2
     easy_margin: bool = True
     orthogonal_reg_weight: float = 0.0
+    # relative weight of the commitment pull folded into the returned loss
+    # (the reference trainer weights angular and seghead-commit separately,
+    # deprecated/train_vqash_v2.py: total_angular_loss_weight vs
+    # total_seghead_commit_loss_weight — set this to their ratio)
+    commit_weight: float = 1.0
 
     @nn.compact
     def __call__(self, x, gt=None, percent=100.0, entropy=None, train: bool = True,
@@ -176,7 +181,7 @@ class AngularSegmentationHeadv2(_HeadProtoMixin):
             pred = upsample_bilinear_ac(pred, scale=self.upsampling)
         if train and gt_map is not None:
             class_feat = jax.lax.stop_gradient(jnp.take(wn, gt_map, axis=0))
-            loss = loss + jnp.mean((class_feat - x) ** 2)
+            loss = loss + self.commit_weight * jnp.mean((class_feat - x) ** 2)
             if self.orthogonal_reg_weight > 0:
                 loss = loss + orthogonal_loss_fn(emb) * self.orthogonal_reg_weight
         return pred, loss

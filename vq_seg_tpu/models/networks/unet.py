@@ -131,6 +131,10 @@ class VQASHUnet(nn.Module):
     depth: int = 5
     upsampling: int = 2
     head_version: int = 1
+    # ratio total_seghead_commit_loss_weight / total_angular_loss_weight so
+    # the driver's single loss weight reproduces the reference's separate
+    # weighting (deprecated/train_vqash_v2.py)
+    seghead_commit_weight: float = 1.0
 
     @nn.compact
     def __call__(self, x, gt=None, train: bool = False,
@@ -149,6 +153,7 @@ class VQASHUnet(nn.Module):
         head = AngularSegmentationHeadv2(
             num_classes=self.num_classes, out_channels=dec_ch[-1],
             scale=self.scale, margin=self.margin, upsampling=self.upsampling,
+            commit_weight=self.seghead_commit_weight,
             name="segmentation_head")
         out, aloss = head(dec, gt, train=train, init_protos=init_protos)
         # v2's loss already folds its commitment term (unet/net.py:455-458

@@ -270,6 +270,7 @@ class _PTNet(nn.Module):
     head_softmax: bool = False
     head_layers: int = 1
     proto_kind: str = "prototype"
+    t: float = 0.1  # vqretemptunet temperature (reference config "t")
 
     def _proto(self, dec_ch):
         kw = dict(num_classes=self.num_classes, embedding_dim=dec_ch[-1],
@@ -281,7 +282,7 @@ class _PTNet(nn.Module):
         if self.proto_kind == "reliable_v2":
             return ReliablePrototypeLossv2(margin=self.margin, scale=self.scale, **kw)
         if self.proto_kind == "stable_temperatured":
-            return StableTemperaturedPrototypeLoss(**kw)
+            return StableTemperaturedPrototypeLoss(t=self.t, **kw)
         if self.proto_kind == "reliable_euclidean":
             return ReliableEuclideanPrototypeLoss(**{k: v for k, v in kw.items() if k != "init"},
                                                   pt_init=self.pt_init)

@@ -100,7 +100,11 @@ def make_sup_train_step(model, tx, dice_loss, *, num_classes: int,
             args = (img, target)
         else:
             args = (img, target, extra)
-        out, mut = model.apply(variables, *args, train=True, mutable=["batch_stats"])
+        out, mut = model.apply(
+            variables, *args, train=True, mutable=["batch_stats"],
+            # fcn32s carries fc6/fc7 dropout (reference fcn/net.py): a
+            # step-folded key keeps the jitted step pure and reproducible
+            rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(0), state.step)})
         if isinstance(out, tuple):
             pred = out[0]
             commit = out[1] if len(out) > 1 and out[1] is not None else jnp.float32(0.0)
@@ -113,7 +117,9 @@ def make_sup_train_step(model, tx, dice_loss, *, num_classes: int,
         loss = sup + commit + proto
         conf = confusion_matrix(pred, target, num_classes=num_classes)
         m, iou_list = miou(conf)
-        aux = dict(batch_stats=mut["batch_stats"],
+        # vgg19 (non-bn) nets carry no batch_stats collection at all
+        aux = dict(batch_stats=mut.get("batch_stats",
+                                       state.variables.get("batch_stats", {})),
                    metrics=dict(loss=loss, sup_loss=sup, commitment_loss=commit,
                                 prototype_loss=proto, miou=m, iou_list=iou_list,
                                 code_usage=jnp.mean(usage) if usage.size else jnp.float32(0.0)),
@@ -236,6 +242,12 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                     init_args = {"plain": (img,), "gt": (img, target),
                                  "gt_extra": (img, target, drop_percent)}[forward_mode]
                     state = init_phase(model, state, init_args)
+                    # de-alias: jitted init CSEs identical constant leaves
+                    # (e.g. fcn32s' two (4096,) zero biases) into ONE buffer,
+                    # which the donated train step then rejects ("donate the
+                    # same buffer twice"); an eager copy gives each leaf its
+                    # own buffer
+                    state = jax.tree_util.tree_map(jnp.copy, state)
                     initted = True
                 extra = jnp.float32(drop_percent) if needs_extra else None
                 state, metrics, pred = train_step(state, img, target, extra)

@@ -40,6 +40,7 @@ from vq_seg_tpu.training.variants import (
     make_easyhard_cps_train_step,
     make_plain_cps_train_step,
     make_salient_cps_train_step,
+    make_rept_cps_train_step,
     make_unimatch_train_step,
     make_vqpt_cps_train_step,
 )
@@ -70,15 +71,23 @@ def _setup(cfg, tag):
     return save_dir, ckpoints_dir, log_txt, logger
 
 
-def _semi_loaders(cfg):
+def _semi_loaders(cfg, mesh=None):
+    """Labeled/unlabeled loaders; with a mesh, batches land pre-sharded over
+    the ``data`` axis (uncommitted params are then replicated by GSPMD, same
+    as the cps driver's multi-chip path)."""
     from vq_seg_tpu.data import BaseDataset, Loader
 
+    device_put = None
+    if mesh is not None:
+        from vq_seg_tpu.parallel import shard_batch_fn
+
+        device_put = shard_batch_fn(mesh)
     root = os.path.join(cfg.train.data_dir, "train")
     bs = cfg.train.batch_size
     sup = BaseDataset(root, "labelled", batch_size=bs, resize=cfg.resize)
     unsup = BaseDataset(root, "unlabelled", batch_size=bs, resize=cfg.resize)
-    return (Loader(sup, bs, shuffle=True, seed=0),
-            Loader(unsup, bs, shuffle=True, seed=1))
+    return (Loader(sup, bs, shuffle=True, seed=0, device_put=device_put),
+            Loader(unsup, bs, shuffle=True, seed=1, device_put=device_put))
 
 
 def _test_loader(cfg, model=None):
@@ -154,17 +163,21 @@ def _save_dual(ckpoints_dir, state, epoch, batch_idx, every=10):
                   os.path.join(ckpoints_dir, "last.ckpt"))
 
 
-def train_plain_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+def train_plain_cps(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     """Plain CPS driver (deprecated/train_CPS.py).  Works for any plain-
     forward net (cps_vqv2* configs use vqunet_v2)."""
     save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "plaincps")
     model = make_model(cfg.model)
-    sup_loader, unsup_loader = _semi_loaders(cfg)
+    sup_loader, unsup_loader = _semi_loaders(cfg, mesh)
     steps = len(unsup_loader)
     if max_steps_per_epoch:
         steps = min(steps, max_steps_per_epoch)
     schedule = make_lr_schedule(cfg.train, len(unsup_loader))
-    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    # cfg.train.decoder_lr_times: encoder at lr/N, rest at lr (the reference
+    # vqatunet.json knob, utils/train_tools.py make_optim_paramgroup)
+    from vq_seg_tpu.utils.train_tools import multi_lr_tx
+
+    tx = multi_lr_tx(schedule, cfg.train.get("decoder_lr_times", 1))
     resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
     sample = jnp.zeros((cfg.train.batch_size, resize, resize, 3))
     state = _dual_state(model, tx, (sample,))
@@ -211,12 +224,12 @@ def train_plain_cps(cfg, max_steps_per_epoch: Optional[int] = None):
     return state
 
 
-def train_unimatch(cfg, max_steps_per_epoch: Optional[int] = None):
+def train_unimatch(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     """UniMatch driver (deprecated/train_UniMatch.py:100-200): single model
     (registry 'unimatch'), confidence threshold 0.95, CutMix views."""
     save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "unimatch")
     model = make_model(cfg.model)
-    sup_loader, unsup_loader = _semi_loaders(cfg)
+    sup_loader, unsup_loader = _semi_loaders(cfg, mesh)
     steps = len(unsup_loader)
     if max_steps_per_epoch:
         steps = min(steps, max_steps_per_epoch)
@@ -265,7 +278,7 @@ def train_unimatch(cfg, max_steps_per_epoch: Optional[int] = None):
     return state
 
 
-def train_salient_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+def train_salient_cps(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     """Salient-loss CPS driver (deprecated/train_salient_loss.py): two
     VQUnetwithSalientloss models + precomputed saliency maps from
     ``cfg.train.salient_dir``."""
@@ -325,14 +338,14 @@ def train_salient_cps(cfg, max_steps_per_epoch: Optional[int] = None):
     return state
 
 
-def train_vqpt_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+def train_vqpt_cps(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     """CPS for the (x, gt)-signature prototype nets (vqptunet / vqeuptunet /
     vqnedptunet), with the VQ-VAE-pretrained frozen-encoder flow when
     ``cfg.train.pretrained.{encoder,codebook}`` is set
     (deprecated/train_vq_pt_unet.py + train_only_decoder.py:53-57)."""
     save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "vqpt")
     model = make_model(cfg.model)
-    sup_loader, unsup_loader = _semi_loaders(cfg)
+    sup_loader, unsup_loader = _semi_loaders(cfg, mesh)
     steps = len(unsup_loader)
     if max_steps_per_epoch:
         steps = min(steps, max_steps_per_epoch)
@@ -364,7 +377,11 @@ def train_vqpt_cps(cfg, max_steps_per_epoch: Optional[int] = None):
         model, tx, criterion, num_classes=cfg.num_classes,
         cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
         commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
-        prototype_loss_weight=cfg.train.get("total_prototype_loss_weight", 0.01))
+        # the angular-head configs (vqash*.json) name this knob
+        # total_angular_loss_weight (deprecated/train_vqash.py)
+        prototype_loss_weight=cfg.train.get(
+            "total_prototype_loss_weight",
+            cfg.train.get("total_angular_loss_weight", 0.01)))
     test_loader = _test_loader(cfg, model)
 
     initted = False
@@ -404,13 +421,82 @@ def train_vqpt_cps(cfg, max_steps_per_epoch: Optional[int] = None):
     return state
 
 
-def train_angularv3_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+def train_rept_cps(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
+    """Percent-family reliable-prototype CPS driver (deprecated/
+    train_with_test_pt_pseudo_entropy_reg.py:124-210 — the vqreptunet1x1 /
+    vqreptunet / vqretemptunet / vqreeuptunet / vqreptunetangular trainer):
+    per-epoch ramp ``drop_percent = 100 - unsup_loss_drop_percent *
+    (1 - epoch/num_epochs)`` (:158-159) fed to the nets' entropy-percentile
+    prototype filter and to the CPS pseudo-label regularizer, as a traced
+    scalar (one compile for the whole run)."""
+    save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "reptcps")
+    model = make_model(cfg.model)
+    sup_loader, unsup_loader = _semi_loaders(cfg, mesh)
+    steps = len(unsup_loader)
+    if max_steps_per_epoch:
+        steps = min(steps, max_steps_per_epoch)
+    schedule = make_lr_schedule(cfg.train, len(unsup_loader))
+    tx = optax.adam(schedule, b1=0.9, b2=0.999)
+    criterion = make_loss(cfg.train.criterion.name, cfg.num_classes, ignore_index=255,
+                          weight=cfg.train.criterion.get("weight"))
+    resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+    sample_x = jnp.zeros((cfg.train.batch_size, resize, resize, 3))
+    sample_gt = jnp.zeros((cfg.train.batch_size, resize, resize), jnp.int32)
+    state = _dual_state(model, tx, (sample_x, sample_gt, 100.0))
+    state = state.replace(variables_1=_apply_encoder_weights(cfg, state.variables_1),
+                          variables_2=_apply_encoder_weights(cfg, state.variables_2))
+    step = make_rept_cps_train_step(
+        model, tx, criterion, num_classes=cfg.num_classes,
+        cps_loss_weight=cfg.train.get("cps_loss_weight", 1.0),
+        commitment_loss_weight=cfg.train.get("total_commitment_loss_weight", 1.0),
+        prototype_loss_weight=cfg.train.get("total_prototype_loss_weight", 0.01))
+    test_loader = _test_loader(cfg, model)
+
+    initted = False
+    num_epochs = cfg.train.num_epochs
+    drop_base = float(cfg.train.get("unsup_loss_drop_percent", 20))
+    for epoch in range(num_epochs):
+        drop_percent = jnp.float32(100.0 - drop_base * (1 - epoch / num_epochs))
+        it = zip(cycle(iter(sup_loader)), iter(unsup_loader))
+        sums: dict = {}
+        t0 = time.time()
+        for batch_idx in range(steps):
+            sup_d, unsup_d = next(it)
+            l_img = jnp.asarray(sup_d["img"])
+            l_tgt = img_to_label(jnp.asarray(sup_d["target"]), cfg.pixel_to_label)
+            ul_img = jnp.asarray(unsup_d["img"])
+            if not initted:
+                new_vars = []
+                for v, seed in ((state.variables_1, 0), (state.variables_2, 1)):
+                    k = jax.random.PRNGKey(seed)
+                    _, mut = model.apply(v, l_img, l_tgt, 100.0, train=True,
+                                         init_codebook=True, init_protos=True,
+                                         mutable=["params", "batch_stats", "codebook"],
+                                         rngs={"kmeans": k, "dropout": k})
+                    new_vars.append({**v, **mut})
+                state = state.replace(variables_1=new_vars[0], variables_2=new_vars[1])
+                initted = True
+            state, metrics = step(state, l_img, l_tgt, ul_img, drop_percent)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0) + np.asarray(v)
+        _epoch_summary("reptcps", epoch, sums, steps, t0, log_txt, logger)
+        if test_loader is not None and epoch % cfg.train.test_every == 0:
+            tm = evaluate(model, state.variables_1, test_loader[0],
+                          cfg.pixel_to_label, cfg.num_classes,
+                          eval_step=test_loader[1])
+            print(f"test miou : {tm}")
+        _save_dual(ckpoints_dir, state, epoch, steps - 1)
+    _finish(log_txt, logger)
+    return state
+
+
+def train_angularv3_cps(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     """Angular-v3 CPS driver (deprecated/train_angularv3.py:49-260):
     vqreptunetangularv3 with the per-epoch unreliable-threshold ramp
     ((epoch+1)/num_epochs until epoch 70, then 0.7 — :155)."""
     save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "angularv3")
     model = make_model(cfg.model)
-    sup_loader, unsup_loader = _semi_loaders(cfg)
+    sup_loader, unsup_loader = _semi_loaders(cfg, mesh)
     steps = len(unsup_loader)
     if max_steps_per_epoch:
         steps = min(steps, max_steps_per_epoch)
@@ -469,13 +555,13 @@ def train_angularv3_cps(cfg, max_steps_per_epoch: Optional[int] = None):
     return state
 
 
-def train_easyhard_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+def train_easyhard_cps(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     """Easy-hard augmentation CPS driver (deprecated/
     train_vqpt_easyhard_aug.py): (x, gt)-signature prototype nets; pseudo
     labels from dihedral easy views, CutMix'd hard training views."""
     save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "easyhard")
     model = make_model(cfg.model)
-    sup_loader, unsup_loader = _semi_loaders(cfg)
+    sup_loader, unsup_loader = _semi_loaders(cfg, mesh)
     steps = len(unsup_loader)
     if max_steps_per_epoch:
         steps = min(steps, max_steps_per_epoch)
@@ -532,7 +618,7 @@ def train_easyhard_cps(cfg, max_steps_per_epoch: Optional[int] = None):
     return state
 
 
-def train_obj_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+def train_obj_cps(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     """Object-loss CPS driver (deprecated/train_with_test_object_loss.py):
     plain CPS + binary object-vs-background loss on the non-bg softmax mass,
     weighted by ``cfg.train.obj_loss_weight``."""
@@ -540,7 +626,7 @@ def train_obj_cps(cfg, max_steps_per_epoch: Optional[int] = None):
 
     save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "objcps")
     model = make_model(cfg.model)
-    sup_loader, unsup_loader = _semi_loaders(cfg)
+    sup_loader, unsup_loader = _semi_loaders(cfg, mesh)
     steps = len(unsup_loader)
     if max_steps_per_epoch:
         steps = min(steps, max_steps_per_epoch)
@@ -593,7 +679,7 @@ def train_obj_cps(cfg, max_steps_per_epoch: Optional[int] = None):
     return state
 
 
-def train_supcon_cps(cfg, max_steps_per_epoch: Optional[int] = None):
+def train_supcon_cps(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     """SupCon CPS driver (deprecated/train_supcon_unet.py): supconvqunet
     with the labeled-split supervised-contrastive aux loss
     (cfg.train.total_sup_con_loss_weight)."""
@@ -601,7 +687,7 @@ def train_supcon_cps(cfg, max_steps_per_epoch: Optional[int] = None):
 
     save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "supconcps")
     model = make_model(cfg.model)
-    sup_loader, unsup_loader = _semi_loaders(cfg)
+    sup_loader, unsup_loader = _semi_loaders(cfg, mesh)
     steps = len(unsup_loader)
     if max_steps_per_epoch:
         steps = min(steps, max_steps_per_epoch)
@@ -657,7 +743,7 @@ def train_supcon_cps(cfg, max_steps_per_epoch: Optional[int] = None):
     return state
 
 
-def train_semiweed(cfg, max_steps_per_epoch: Optional[int] = None):
+def train_semiweed(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     """SemiWeedNet contrastive semi-sup driver (deprecated/
     semiweednet_train.py): one model, CE(labeled, issup=True) +
     diagonal-cosine loss between MLP projections of two dihedral-transformed
@@ -667,7 +753,7 @@ def train_semiweed(cfg, max_steps_per_epoch: Optional[int] = None):
 
     save_dir, ckpoints_dir, log_txt, logger = _setup(cfg, "semiweed")
     model = make_model(cfg.model)
-    sup_loader, unsup_loader = _semi_loaders(cfg)
+    sup_loader, unsup_loader = _semi_loaders(cfg, mesh)
     steps = len(unsup_loader)
     if max_steps_per_epoch:
         steps = min(steps, max_steps_per_epoch)

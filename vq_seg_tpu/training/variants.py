@@ -223,6 +223,96 @@ def make_vqpt_cps_train_step(model, tx, criterion, *, num_classes: int,
     return step
 
 
+def make_rept_cps_train_step(model, tx, criterion, *, num_classes: int,
+                             cps_loss_weight: float = 1.0,
+                             commitment_loss_weight: float = 1.0,
+                             prototype_loss_weight: float = 0.01):
+    """Percent-family reliable-prototype CPS (deprecated/
+    train_with_test_pt_pseudo_entropy_reg.py:137-210 — the trainer behind
+    the vqreptunet1x1 / vqreptunet / vqretemptunet / vqreeuptunet /
+    vqreptunetangular configs): nets take ``(x, gt, percent)`` where the
+    prototype loss self-filters pixels at the entropy ``percent``-ile.
+
+    Semantics mirrored exactly:
+      * eval-mode INT pseudo-labels (argmax) feed the OTHER model's unsup
+        pass (:150-171) — not the flagship's 4-D score maps;
+      * CPS targets are entropy-REGULARIZED pseudo-labels: pixels whose
+        softmax entropy is >= the ``drop_percent``-ile become 255/ignore
+        (``make_regularized_pseudo_label``, :30-39 — np.percentile on host
+        there, ``jnp.percentile`` on device here);
+      * cps and sup losses are the configured criterion alone (:186-190 —
+        no 0.5*CE mix, unlike the v2 flagship);
+      * ``drop_percent`` is a TRACED scalar so the per-epoch ramp
+        (``100 - unsup_loss_drop_percent*(1-epoch/num_epochs)``, :158-159)
+        never retriggers compilation."""
+
+    def fwd(variables, x, gt, percent):
+        (pred, commit, usage, proto), mut = model.apply(
+            variables, x, gt, percent, train=True, mutable=["batch_stats"])
+        return (pred, commit, usage, proto), {**variables, "batch_stats": mut["batch_stats"]}
+
+    def regularized_pseudo(pred, drop_percent):
+        # reference make_regularized_pseudo_label (:30-39); class-major
+        # transpose keeps the size-C softmax off the TPU lane dim
+        n, h, w_, c = pred.shape
+        z = pred.reshape(n, h * w_, c).transpose(0, 2, 1)
+        prob = jax.nn.softmax(z, axis=1)
+        label = jnp.argmax(prob, axis=1).reshape(n, h, w_)
+        entropy = -jnp.sum(prob * jnp.log(prob + 1e-10), axis=1).reshape(n, h, w_)
+        thresh = jnp.percentile(entropy.reshape(-1), drop_percent)
+        return jnp.where(entropy >= thresh, 255, label)
+
+    def loss_fn(p1, p2, state, l_img, l_target, ul_img, drop_percent):
+        v1 = {**state.variables_1, "params": p1}
+        v2 = {**state.variables_2, "params": p2}
+        # eval-mode int pseudo-labels (:150-156)
+        pl_1 = jax.lax.stop_gradient(
+            jnp.argmax(model.apply(v1, ul_img, train=False)[0], -1))
+        pl_2 = jax.lax.stop_gradient(
+            jnp.argmax(model.apply(v2, ul_img, train=False)[0], -1))
+
+        (pred_sup_1, c_l1, u_l1, pt_l1), v1 = fwd(v1, l_img, l_target, drop_percent)
+        (pred_sup_2, c_l2, u_l2, pt_l2), v2 = fwd(v2, l_img, l_target, drop_percent)
+        (pred_ul_1, c_ul1, u_ul1, pt_ul1), v1 = fwd(v1, ul_img, pl_2, drop_percent)
+        (pred_ul_2, c_ul2, u_ul2, pt_ul2), v2 = fwd(v2, ul_img, pl_1, drop_percent)
+
+        pred_1 = jnp.concatenate([pred_sup_1, pred_ul_1], 0)
+        pred_2 = jnp.concatenate([pred_sup_2, pred_ul_2], 0)
+        pseudo_1 = jax.lax.stop_gradient(regularized_pseudo(pred_1, drop_percent))
+        pseudo_2 = jax.lax.stop_gradient(regularized_pseudo(pred_2, drop_percent))
+        cps = criterion(pred_1, pseudo_2) + criterion(pred_2, pseudo_1)
+        sup_1 = criterion(pred_sup_1, l_target)
+        sup_2 = criterion(pred_sup_2, l_target)
+        commit = (c_l1 + c_l2 + c_ul1 + c_ul2) * commitment_loss_weight
+        proto = (pt_l1 + pt_l2 + pt_ul1 + pt_ul2) * prototype_loss_weight
+        loss = sup_1 + sup_2 + cps_loss_weight * cps + commit + proto
+        code_usage = (u_l1 + u_l2 + u_ul1 + u_ul2) / 4.0
+        conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
+        m, iou_list = miou(conf)
+        return loss, dict(batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
+                          metrics=dict(loss=loss, cps_loss=cps, sup_loss_1=sup_1,
+                                       sup_loss_2=sup_2, commitment_loss=commit,
+                                       prototype_loss=proto, code_usage=code_usage,
+                                       miou=m, iou_list=iou_list))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: CPSTrainState, l_img, l_target, ul_img, drop_percent):
+        (p1, _), (p2, _) = _split(state.variables_1), _split(state.variables_2)
+        (g1, g2), aux = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            p1, p2, state, l_img, l_target, ul_img, drop_percent)
+        u1, o1 = tx.update(g1, state.opt_state_1, p1)
+        u2, o2 = tx.update(g2, state.opt_state_2, p2)
+        return state.replace(
+            variables_1={**state.variables_1, "params": optax.apply_updates(p1, u1),
+                         "batch_stats": aux["batch_stats_1"]},
+            variables_2={**state.variables_2, "params": optax.apply_updates(p2, u2),
+                         "batch_stats": aux["batch_stats_2"]},
+            opt_state_1=o1, opt_state_2=o2, step=state.step + 1,
+        ), aux["metrics"]
+
+    return step
+
+
 def make_objloss_cps_train_step(model, tx, criterion, object_criterion, *,
                                 num_classes: int, batch_size: int,
                                 cps_loss_weight: float = 1.0,
