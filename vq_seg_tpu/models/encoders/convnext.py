@@ -41,7 +41,9 @@ class ConvNeXtBlock(nn.Module):
                     kernel_init=torch_conv_default, name="dwconv")(x)
         h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
         h = nn.Dense(4 * self.dim, name="pwconv1")(h)
-        h = nn.gelu(h)
+        # exact (erf) GELU — torchvision's nn.GELU default, so converted
+        # ImageNet weights reproduce the reference activations bit-closely
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, name="pwconv2")(h)
         gamma = self.param("gamma", nn.initializers.constant(self.layer_scale_init),
                            (self.dim,))

@@ -110,6 +110,65 @@ def convert_vgg(state_dict: Mapping[str, "np.ndarray"]):
     return params, batch_stats
 
 
+def convert_convnext(state_dict: Mapping[str, "np.ndarray"]):
+    """torchvision convnext state dict -> flax param subtree for
+    models/encoders/convnext.ConvNeXtEncoder (VERDICT r2 #9; URLs recorded at
+    reference models/encoders/pretrained_settings.py:11-14 are the
+    download.pytorch.org torchvision checkpoints).
+
+    torchvision layout: ``features.0.{0,1}`` stem conv+LN2d; stages at
+    features indices 1/3/5/7 (CNBlock: block.0 dwconv, block.2 LN, block.3
+    / block.5 Linears, plus ``layer_scale`` (dim,1,1)); downsamplers at
+    2/4/6 (``.0`` LN2d, ``.1`` conv 2x2/s2).  classifier.* dropped.
+    ConvNeXt has no BatchNorm, so batch_stats is empty."""
+    params: dict = {}
+    for key, v in state_dict.items():
+        v = np.asarray(v)
+        parts = key.split(".")
+        if parts[0] != "features":
+            continue  # classifier.*
+        fi = int(parts[1])
+        if fi == 0:  # stem
+            if parts[2] == "0":
+                leaf = "kernel" if parts[3] == "weight" else "bias"
+                val = v.transpose(2, 3, 1, 0) if leaf == "kernel" else v
+                _set(params, ["stem_conv", "Conv_0", leaf], val)
+            else:
+                _set(params, ["stem_norm",
+                              {"weight": "scale", "bias": "bias"}[parts[3]]], v)
+        elif fi % 2 == 0:  # downsampler between stages
+            k = fi // 2
+            if parts[2] == "0":  # LayerNorm2d
+                _set(params, [f"down_norm{k}",
+                              {"weight": "scale", "bias": "bias"}[parts[3]]], v)
+            else:  # conv 2x2 stride 2
+                leaf = "kernel" if parts[3] == "weight" else "bias"
+                val = v.transpose(2, 3, 1, 0) if leaf == "kernel" else v
+                _set(params, [f"down_conv{k}", "Conv_0", leaf], val)
+        else:  # stage blocks
+            si, bi = fi // 2, int(parts[2])
+            mod = f"stage{si}_block{bi}"
+            if parts[3] == "layer_scale":
+                _set(params, [mod, "gamma"], v.reshape(-1))
+                continue
+            sub = parts[4]
+            leaf = parts[5]
+            if sub == "0":  # depthwise conv (dim,1,7,7) -> (7,7,1,dim)
+                name = "kernel" if leaf == "weight" else "bias"
+                val = v.transpose(2, 3, 1, 0) if name == "kernel" else v
+                _set(params, [mod, "dwconv", "Conv_0", name], val)
+            elif sub == "2":  # LayerNorm
+                _set(params, [mod, "norm",
+                              {"weight": "scale", "bias": "bias"}[leaf]], v)
+            elif sub in ("3", "5"):  # Linear: torch (out,in) -> flax (in,out)
+                name = "pwconv1" if sub == "3" else "pwconv2"
+                if leaf == "weight":
+                    _set(params, [mod, name, "kernel"], v.T)
+                else:
+                    _set(params, [mod, name, "bias"], v)
+    return params, {}
+
+
 def _deep_update(dst, src):
     for k, v in src.items():
         if isinstance(v, dict) and isinstance(dst.get(k), dict):
@@ -193,7 +252,12 @@ def load_encoder_weights(variables, encoder_name: str, pth_path: str,
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     sd = {k: v.numpy() for k, v in sd.items()}
-    conv = convert_vgg if "features.0.weight" in sd else convert_resnet
+    if any(".block." in k and k.startswith("features.") for k in sd):
+        conv = convert_convnext
+    elif "features.0.weight" in sd:
+        conv = convert_vgg
+    else:
+        conv = convert_resnet
     params_new, stats_new = conv(sd)
 
     import copy
