@@ -33,35 +33,65 @@ from vq_seg_tpu.config import get_config_from_json  # noqa: E402
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", default="./config/vqreptunet1x1v2.json")
-    parser.add_argument("--mode", default="cps",
+    parser.add_argument("--mode", default=None,
                         choices=["cps", "sup", "selfsup", "plaincps", "unimatch",
-                                 "salientcps", "vqpt", "angularv3", "easyhard",
-                                 "objcps", "supconcps", "semiweed"])
+                                 "salientcps", "vqpt", "reptcps", "angularv3",
+                                 "easyhard", "objcps", "supconcps", "semiweed"],
+                        help="trainer family; defaults to the config's "
+                             "top-level \"mode\" key, else cps")
     parser.add_argument("--max_steps_per_epoch", type=int, default=None)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batches over all local devices")
+    parser.add_argument("--per_device_batch", action="store_true",
+                        help="with --data_parallel: treat cfg.train.batch_size "
+                             "as PER-DEVICE (global batch = batch_size x "
+                             "n_data, the TPU-native convention) so every "
+                             "chip is used regardless of the config's batch")
+    parser.add_argument("--pair_parallel", action="store_true",
+                        help="cps mode: place each CPS model on its own "
+                             "device group (model axis of 2, shard_map pair "
+                             "step); composes with --data_parallel")
     opt = parser.parse_args()
     cfg = get_config_from_json(opt.config_path)
+    if opt.mode is None:
+        # the shipped config zoo carries its trainer family (config/*.json
+        # "mode"); explicit --mode always wins
+        opt.mode = cfg.get("mode") or "cps"
 
     mesh = None
-    if opt.data_parallel:
+    if opt.data_parallel or opt.pair_parallel:
         import math
 
         import jax
 
         from vq_seg_tpu.parallel import make_mesh
 
-        # the data axis must divide the global batch (jax sharding rule);
-        # clamp to gcd(batch, devices) and warn about idle chips rather than
-        # crash on the reference's batch-4 configs
         n_dev = len(jax.devices())
-        n_data = math.gcd(int(cfg.train.batch_size), n_dev)
-        if n_data < n_dev:
-            print(f"--data_parallel: batch {cfg.train.batch_size} shards over "
-                  f"{n_data} of {n_dev} devices (data axis must divide the "
-                  f"batch; raise batch_size to use all chips)")
-        mesh = make_mesh(n_data=n_data, n_model=1,
-                         devices=jax.devices()[:n_data])
+        n_model = 2 if opt.pair_parallel else 1
+        avail = n_dev // n_model
+        if opt.pair_parallel and avail < 1:
+            raise SystemExit("--pair_parallel needs >= 2 devices")
+        if not opt.data_parallel:
+            n_data = 1
+        elif opt.per_device_batch:
+            # TPU-native semantics: batch_size is per-device; global batch
+            # scales with the mesh so no chip idles
+            n_data = avail
+            cfg.train.batch_size = int(cfg.train.batch_size) * n_data
+            print(f"--per_device_batch: global batch = {cfg.train.batch_size} "
+                  f"over {n_data} data-axis devices")
+        else:
+            # the data axis must divide the global batch (jax sharding rule);
+            # clamp to gcd(batch, devices) and warn about idle chips rather
+            # than crash on the reference's batch-4 configs
+            n_data = math.gcd(int(cfg.train.batch_size), avail)
+            if n_data * n_model < n_dev:
+                print(f"--data_parallel: batch {cfg.train.batch_size} shards "
+                      f"over {n_data} of {avail} devices (data axis must "
+                      f"divide the batch; use --per_device_batch or raise "
+                      f"batch_size to use all chips)")
+        mesh = make_mesh(n_data=n_data, n_model=n_model,
+                         devices=jax.devices()[:n_data * n_model])
 
     if opt.mode == "cps":
         from vq_seg_tpu.training import cps
@@ -82,12 +112,13 @@ def main():
               "unimatch": variant_drivers.train_unimatch,
               "salientcps": variant_drivers.train_salient_cps,
               "vqpt": variant_drivers.train_vqpt_cps,
+              "reptcps": variant_drivers.train_rept_cps,
               "angularv3": variant_drivers.train_angularv3_cps,
               "easyhard": variant_drivers.train_easyhard_cps,
               "objcps": variant_drivers.train_obj_cps,
               "supconcps": variant_drivers.train_supcon_cps,
               "semiweed": variant_drivers.train_semiweed}[opt.mode]
-        fn(cfg, max_steps_per_epoch=opt.max_steps_per_epoch)
+        fn(cfg, max_steps_per_epoch=opt.max_steps_per_epoch, mesh=mesh)
 
 
 if __name__ == "__main__":
