@@ -29,18 +29,26 @@ def initialize(coordinator_address: Optional[str] = None,
     """Bring up the multi-controller runtime.  On TPU pods all arguments are
     discovered from the environment; pass them explicitly elsewhere.  Safe
     to call when already initialised (no-op) or single-process."""
-    if jax.process_count() > 1:
+    # do NOT probe jax.process_count() here: it initialises the XLA backend,
+    # after which jax.distributed.initialize refuses to run.  The
+    # distributed-client state is inspectable without touching the backend.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialised
-    try:
-        if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and num_processes is None:
+        try:
             jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(coordinator_address=coordinator_address,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-    except (ValueError, RuntimeError):
-        # single-process / already-initialised environments
-        pass
+        except (ValueError, RuntimeError):
+            # single-process / non-cluster environments have nothing to
+            # auto-discover — only the env-driven path may soft-fail
+            pass
+    else:
+        # explicit topology: failures here are real configuration errors
+        # and must surface (a swallowed one silently runs single-process)
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
 
 
 def host_shard(items: Sequence, process_index: Optional[int] = None,
