@@ -47,12 +47,18 @@ def main():
                              "as PER-DEVICE (global batch = batch_size x "
                              "n_data, the TPU-native convention) so every "
                              "chip is used regardless of the config's batch")
+    parser.add_argument("--zero", action="store_true",
+                        help="with --data_parallel: ZeRO-1 — shard the Adam "
+                             "moments over the data axis instead of "
+                             "replicating them (parallel/zero.py)")
     parser.add_argument("--pair_parallel", action="store_true",
                         help="cps mode: place each CPS model on its own "
                              "device group (model axis of 2, shard_map pair "
                              "step); composes with --data_parallel")
     opt = parser.parse_args()
     cfg = get_config_from_json(opt.config_path)
+    if opt.zero:
+        cfg.train.zero_opt = True
     if opt.mode is None:
         # the shipped config zoo carries its trainer family (config/*.json
         # "mode"); explicit --mode always wins

@@ -250,6 +250,85 @@ def test_scan_steps_under_mesh():
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=6e-3)
 
 
+def test_zero_sharded_optimizer_matches_replicated():
+    """ZeRO-1 (SURVEY §2.9): Adam moments sharded over the data axis via
+    parallel/zero.py must (a) reproduce the replicated-moment step exactly,
+    (b) actually cut per-chip optimizer bytes, and (c) stay sharded across
+    donated steps (GSPMD layout propagation)."""
+    from vq_seg_tpu.losses import make_loss
+    from vq_seg_tpu.models.networks import make_model
+    from vq_seg_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        opt_bytes_per_chip,
+        replicated,
+        shard_opt_state,
+    )
+    from vq_seg_tpu.training.cps import (
+        cps_init_phase,
+        create_cps_state,
+        make_cps_train_step_stacked,
+        stack_cps_state,
+    )
+
+    model = make_model({"name": "vqreptunet1x1v2", "params": {
+        "encoder_name": "resnet18", "num_classes": 3,
+        "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4], "distance": "euclidean",
+                   "kmeans_init": True},
+        "margin": 0.5, "scale": 30.0,
+    }})
+    tx = optax.adam(1e-3)
+    dice = make_loss("dice_loss", 3, ignore_index=255)
+    rng = np.random.default_rng(3)
+    l_img = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
+    l_tgt = jnp.asarray(rng.integers(0, 3, size=(4, 32, 32)).astype(np.int32))
+    ul_img = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
+
+    state = create_cps_state(model, tx, (l_img, l_tgt, 0.7))
+    state = cps_init_phase(model, state, l_img, l_tgt, 0.7)
+    state = stack_cps_state(state, tx)
+    fresh = lambda: jax.tree_util.tree_map(jnp.copy, state)  # noqa: E731
+    step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
+                                       confidence_threshold=0.7)
+
+    single, m_single, _, _ = step(fresh(), l_img, l_tgt, ul_img)
+
+    # production mesh shape: --zero composes with --data_parallel, which
+    # builds n_model=1 (scripts/train.py:76).  A 4x2 mesh with an idle model
+    # axis additionally deadlocks XLA's CPU in-process communicator on the
+    # per-model-group subgroup all-reduces ZeRO adds — a CPU-runtime
+    # limitation, not a layout bug (the same 4x2 mesh works without ZeRO,
+    # test_production_step_* above).
+    mesh = make_mesh(n_data=4, n_model=1)
+    rep = replicated(mesh)
+    with mesh:
+        st = fresh()
+        vars_sh = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep),
+                                         st.variables_1)
+        opt_rep = jax.jit(tx.init)(vars_sh["params"])
+        rep_bytes = opt_bytes_per_chip(opt_rep)
+        opt_zero = shard_opt_state(opt_rep, mesh)
+        zero_bytes = opt_bytes_per_chip(opt_zero)
+        # moments dominate the state; sharding 4-ways should cut per-chip
+        # bytes well below the replicated footprint
+        assert zero_bytes < 0.5 * rep_bytes, (zero_bytes, rep_bytes)
+        st = st.replace(variables_1=vars_sh, opt_state_1=opt_zero,
+                        step=jax.device_put(st.step, rep))
+        bsh = batch_sharding(mesh)
+        sharded, m_sharded, _, _ = step(
+            st, jax.device_put(l_img, bsh), jax.device_put(l_tgt, bsh),
+            jax.device_put(ul_img, bsh))
+        # the donated step keeps the ZeRO layout (no silent re-replication)
+        assert opt_bytes_per_chip(sharded.opt_state_1) < 0.5 * rep_bytes
+
+    for k in ("loss", "cps_loss", "sup_loss_1", "miou"):
+        a, b = float(m_single[k]), float(m_sharded[k])
+        assert abs(a - b) <= 2e-3 * max(abs(a), 1e-3), (k, a, b)
+    for pa, pb in zip(jax.tree_util.tree_leaves(single.variables_1["params"]),
+                      jax.tree_util.tree_leaves(sharded.variables_1["params"])):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-3)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_cps():
     import __graft_entry__ as g

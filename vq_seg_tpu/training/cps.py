@@ -877,6 +877,13 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
             train_step = make_cps_train_step_pairsharded(
                 model, tx, dice, mesh, **step_kwargs)(st)
         else:
+            if mesh is not None and cfg.train.get("zero_opt"):
+                # ZeRO-1: Adam moments sharded over the data axis instead of
+                # replicated; donated jit propagates the layout across steps
+                # (parallel/zero.py; tests/test_sharding.py)
+                from vq_seg_tpu.parallel import shard_opt_state
+
+                st = st.replace(opt_state_1=shard_opt_state(st.opt_state_1, mesh))
             train_step = make_cps_train_step_stacked(model, tx, dice, **step_kwargs)
         multi_step = make_cps_multi_step(train_step, scan_k) if scan_k > 1 else None
         return st
