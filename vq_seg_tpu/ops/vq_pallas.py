@@ -85,8 +85,13 @@ def _vq_assign_pallas_jvp(metric, primals, tangents):
     return out, (zero_from_primal(idx), jnp.zeros_like(quant), zero_from_primal(counts))
 
 
-@functools.partial(jax.jit, static_argnames=("metric",))
-def _vq_assign_pallas_impl(x: jnp.ndarray, codebook: jnp.ndarray, metric: str = "euclidean"):
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def _vq_assign_pallas_impl(x: jnp.ndarray, codebook: jnp.ndarray, metric: str = "euclidean",
+                           interpret: bool = False):
+    """``interpret=True`` runs the kernel through the Pallas interpreter —
+    the same kernel logic, executable on CPU, so the grid/accumulator/
+    masking code is covered by the regular suite and not only by the
+    TPU-only timing test (tests/test_pallas_interpret.py)."""
     n, c = x.shape
     k = codebook.shape[0]
     # K >= 256: Mosaic's argmin lowering fails on a single 128-lane block
@@ -122,6 +127,7 @@ def _vq_assign_pallas_impl(x: jnp.ndarray, codebook: jnp.ndarray, metric: str = 
             bytes_accessed=n_pad * c * 4 + k * c * 4 + n_pad * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(x, codebook, cb_sq)
     idx = idx.reshape(-1)[:n]
     # exact row gather with XLA (one-hot matmuls on the MXU round codebook
