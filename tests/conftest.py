@@ -12,7 +12,15 @@ import os
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA's CPU in-process collectives ABORT the whole process if a rendezvous
+# takes >45 s (rendezvous.cc termination timeout); with 8 virtual devices on
+# a loaded host that fires spuriously mid-suite.  Raise warn/terminate well
+# past any legitimate wait.
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=900"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
