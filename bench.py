@@ -8,6 +8,26 @@ reference flagship config's AMP setting (half=true,
 config/vqreptunet1x1v2.json).  Counts labeled+unlabeled images consumed per
 optimizer step.
 
+Two profiles are reported in the one JSON line:
+
+  * default — the reference architecture exactly (decoder plan
+    1024/512/256/128/32, batch 4+4): the parity configuration.
+  * tuned   — the supported throughput profile: the equal-accuracy narrow
+    decoder plan (256,128,64,48,32 — BASELINE.md: mIoU 0.4376 vs 0.4338 at
+    64^2 and 0.4629 vs 0.4709 at 256^2, within noise at both) + batch 8+8.
+    Users opt in via `"decoder_channels": [256,128,64,48,32]` in the model
+    params; defaults stay reference-parity.
+
+Bench hygiene (VERDICT r2 weak #6): every scanned step gets a DISTINCT
+random labeled batch, unlabeled batch, and non-degenerate random ground
+truth (all 3 classes present) — identical constant inputs let XLA CSE the
+two trunk forwards (a measured ~25% phantom speedup) and all-zero gt makes
+the dice/score-mask paths unrepresentative.
+
+MFU: achieved model FLOP/s (XLA cost-analysis FLOPs of the compiled step,
+which counts the real fused program) divided by the v5e bf16 peak
+(197 TF/s/chip).
+
 Synchronisation: the loss scalar of the LAST step is fetched to host, which
 forces the whole donated state chain to execute (a bare block_until_ready on
 a tunneled array returns early through the axon relay — measured 80x too
@@ -16,25 +36,66 @@ fast).
 vs_baseline = images/sec / (5 x CPU baseline): the BASELINE.json north-star
 is ">=5x images/sec/chip over CPU baseline", so 1.0 means target met.
 
-Prints ONE json line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE json line: {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N, "mfu": N, "tuned": {...}}
 """
 from __future__ import annotations
 
 import json
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
+
+# Persistent compilation cache: the two profile programs take minutes each
+# to compile through the tunneled chip; cached HLO makes repeat bench runs
+# (and the driver's end-of-round run) near-instant to warm up.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 # Measured on this host's CPU backend (tools/cpu_baseline.py, 2026-08-16):
 # flagship CPS train step at 512^2 bs 4+4 took 242.9 s/step.
 CPU_BASELINE_IPS = 0.0329
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 
 
-def main(batch: int = 4, hw: int = 512, iters: int = 4, half: bool = True,
-         scan_steps: int = 8):
+def _random_batches(batch, hw, scan_steps, seed=0):
+    """Distinct random labeled/unlabeled images + random 3-class gt per
+    scanned step (host-generated so XLA sees runtime-fed, non-equal data)."""
+    rng = np.random.default_rng(seed)
+    l_imgs = rng.uniform(0, 1, (scan_steps, batch, hw, hw, 3)).astype(np.float32)
+    ul_imgs = rng.uniform(0, 1, (scan_steps, batch, hw, hw, 3)).astype(np.float32)
+    gts = rng.integers(0, 3, (scan_steps, batch, hw, hw)).astype(np.int32)
+    return jnp.asarray(l_imgs), jnp.asarray(gts), jnp.asarray(ul_imgs)
+
+
+def _flops_of(compiled):
+    """XLA cost-analysis FLOPs of the compiled program.
+
+    NOTE: HloCostAnalysis counts a while/scan body ONCE, not x trip-count
+    (verified on this jax: an 8-iteration lax.scan of a matmul reports the
+    same flops as the single matmul).  The K-step multi program's flops are
+    therefore already per-step — do NOT divide by scan_steps."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
+
+def run_profile(batch, hw, iters, half, scan_steps, decoder_channels=None,
+                seed=0):
+    from contextlib import nullcontext
+
     from vq_seg_tpu.losses import make_loss
+    from vq_seg_tpu.models.layers import compute_dtype
+    from vq_seg_tpu.models.networks import make_model
     from vq_seg_tpu.training.cps import (
         cps_init_phase,
         create_cps_state,
@@ -42,20 +103,24 @@ def main(batch: int = 4, hw: int = 512, iters: int = 4, half: bool = True,
         make_cps_train_step_stacked,
         stack_cps_state,
     )
-    from __graft_entry__ import _flagship
-    from contextlib import nullcontext
-    from vq_seg_tpu.models.layers import compute_dtype
 
-    model = _flagship(num_embeddings=(0, 0, 512, 512, 512), encoder="resnet50")
+    params = {
+        "encoder_name": "resnet50", "num_classes": 3,
+        "vq_cfg": {"num_embeddings": [0, 0, 512, 512, 512],
+                   "distance": "euclidean", "kmeans_init": True},
+        "margin": 0.5, "scale": 30.0, "depth": 5,
+    }
+    if decoder_channels is not None:
+        params["decoder_channels"] = list(decoder_channels)
+    model = make_model({"name": "vqreptunet1x1v2", "params": params})
     tx = optax.adam(1e-4)
     dice = make_loss("dice_loss", 3, ignore_index=255)
 
-    key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (batch, hw, hw, 3), jnp.float32)
-    gt = jnp.zeros((batch, hw, hw), jnp.int32)
+    l_imgs, gts, ul_imgs = _random_batches(batch, hw, scan_steps, seed)
+    x0, gt0 = l_imgs[0], gts[0]
     with (compute_dtype(jnp.bfloat16) if half else nullcontext()):
-        state = create_cps_state(model, tx, (x, gt, 0.7))
-        state = cps_init_phase(model, state, x, gt, 0.7)
+        state = create_cps_state(model, tx, (x0, gt0, 0.7))
+        state = cps_init_phase(model, state, x0, gt0, 0.7)
         state = stack_cps_state(state, tx)
         step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
                                            confidence_threshold=0.7,
@@ -64,24 +129,50 @@ def main(batch: int = 4, hw: int = 512, iters: int = 4, half: bool = True,
         # device dispatch over pre-staged batches (cfg.train.scan_steps;
         # numerics identical — tests/test_cps_training.py)
         multi = make_cps_multi_step(step, scan_steps)
-        xs = tuple(jnp.stack([a] * scan_steps) for a in (x, gt, x))
+        flops_per_step = _flops_of(
+            multi.lower(state, l_imgs, gts, ul_imgs).compile())
         # warmup / compile; scalar fetch = hard sync
-        state, m, _, _ = multi(state, *xs)
+        state, m, _, _ = multi(state, l_imgs, gts, ul_imgs)
         float(m["loss"])
-        best = 0.0
+        best_ips, best_dt = 0.0, float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(iters):
-                state, m, _, _ = multi(state, *xs)
+                state, m, _, _ = multi(state, l_imgs, gts, ul_imgs)
             float(m["loss"])  # forces the whole donated-state chain
             dt = (time.perf_counter() - t0) / (iters * scan_steps)
-            best = max(best, 2 * batch / dt)
+            if 2 * batch / dt > best_ips:
+                best_ips, best_dt = 2 * batch / dt, dt
+    return {
+        "ips": best_ips,
+        "ms_per_step": best_dt * 1e3,
+        "tflops": flops_per_step / best_dt / 1e12,
+        "mfu": flops_per_step / best_dt / V5E_BF16_PEAK_FLOPS,
+    }
 
+
+def main(hw: int = 512, iters: int = 4, half: bool = True,
+         scan_steps: int = 8):
+    default = run_profile(4, hw, iters, half, scan_steps)
+    tuned = run_profile(8, hw, iters, half, scan_steps,
+                        decoder_channels=(256, 128, 64, 48, 32), seed=1)
     print(json.dumps({
         "metric": "flagship CPS train step images/sec/chip @512^2 (bs 4+4, resnet50, K=512 VQ, bf16, scan_steps=8)",
-        "value": round(best, 3),
+        "value": round(default["ips"], 3),
         "unit": "images/sec",
-        "vs_baseline": round(best / (5 * CPU_BASELINE_IPS), 3),
+        "vs_baseline": round(default["ips"] / (5 * CPU_BASELINE_IPS), 3),
+        "mfu": round(default["mfu"], 4),
+        "model_tflops_per_s": round(default["tflops"], 2),
+        "ms_per_step": round(default["ms_per_step"], 2),
+        "tuned": {
+            "profile": "equal-accuracy decoder plan (256,128,64,48,32) + bs 8+8",
+            "value": round(tuned["ips"], 3),
+            "unit": "images/sec",
+            "vs_baseline": round(tuned["ips"] / (5 * CPU_BASELINE_IPS), 3),
+            "mfu": round(tuned["mfu"], 4),
+            "model_tflops_per_s": round(tuned["tflops"], 2),
+            "ms_per_step": round(tuned["ms_per_step"], 2),
+        },
     }))
 
 
