@@ -29,7 +29,79 @@ import jax.numpy as jnp
 import optax
 
 
-def run_variant(name, batch, hw, iters, decoder_channels=None, padding_mode=None):
+def _patch_s2d_stem():
+    """Space-to-depth stem (MLPerf ResNet trick): the 7x7/2 3->64 stem conv
+    runs at 5.6 TF/s (BASELINE.md roofline) because 3 input channels cannot
+    feed the 128-lane MXU.  Mathematically identical rewrite: explicit pad 3,
+    space-to-depth x2 (H,W,3)->(H/2,W/2,12), then a VALID 4x4 stride-1 conv
+    whose kernel is the zero-padded 8x8 rearrangement of the 7x7 one
+    (y[i,j] = sum_{a,b,p,q,c} w8[2a+p,2b+q,c,o] * x'[2(i+a)+p, 2(j+b)+q, c]).
+    Here we bench with a fresh (4,4,12,64) kernel — same program shape; the
+    +31% stem FLOPs (64 taps vs 49) are the honest cost of the layout."""
+    import flax.linen as nn
+    import vq_seg_tpu.models.layers as L
+
+    orig = L.ConvPad.__call__
+
+    def patched(self, x):
+        ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 2
+        st = self.strides if isinstance(self.strides, tuple) else (self.strides,) * 2
+        if ks == (7, 7) and st == (2, 2) and self.padding == 3 and x.shape[-1] == 3:
+            mode = L._PAD_MODE[self.padding_mode]
+            x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)),
+                        mode=mode if mode is not None else "constant")
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+            x = x.reshape(b, h // 2, w // 2, 4 * c)
+            return nn.Conv(self.features, (4, 4), padding="VALID",
+                           use_bias=self.use_bias, kernel_init=self.kernel_init,
+                           dtype=L.current_compute_dtype(self.dtype))(x)
+        return orig(self, x)
+
+    L.ConvPad.__call__ = patched
+    return lambda: setattr(L.ConvPad, "__call__", orig)
+
+
+def _patch_subpixel_tail():
+    """Subpixel decoder tail: the last decoder block's 32-channel 3x3 convs
+    at the widest spatial resolution idle 3/4 of the MXU lanes (24.8 TF/s,
+    BASELINE.md roofline).  Variant: run the final block at HALF resolution
+    with 4x channels (skip space-to-depth'd into it), then depth-to-space
+    back — full 128-lane occupancy at 2.3x the tail FLOPs.  NOT numerically
+    equivalent (capacity-preserving structural change); would need the
+    decoder_plan_accuracy gate before shipping as a tuned option."""
+    import vq_seg_tpu.models.modules.decoder as D
+
+    orig = D.UnetDecoder.__call__
+
+    def patched(self, features, train=False):
+        feats = list(features)[::-1]
+        x = feats[0]
+        n = len(self.decoder_channels)
+        for i in range(n - 1):
+            if i > 0:
+                skip = feats[i]
+                up = D.resize_bilinear(x, skip.shape[1:3])
+                x = jnp.concatenate([up, skip], axis=-1)
+            x = D.DoubleConv(self.decoder_channels[i], name=f"block{i}")(x, train)
+        # tail in subpixel space
+        skip = feats[n - 1]
+        b, sh, sw, sc = skip.shape
+        s2d = skip.reshape(b, sh // 2, 2, sw // 2, 2, sc).transpose(0, 1, 3, 2, 4, 5)
+        s2d = s2d.reshape(b, sh // 2, sw // 2, 4 * sc)
+        up = D.resize_bilinear(x, (sh // 2, sw // 2))
+        x = jnp.concatenate([up, s2d], axis=-1)
+        x = D.DoubleConv(4 * self.decoder_channels[n - 1], name=f"block{n - 1}")(x, train)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h, w, 2, 2, c // 4).transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, 2 * h, 2 * w, c // 4)
+
+    D.UnetDecoder.__call__ = patched
+    return lambda: setattr(D.UnetDecoder, "__call__", orig)
+
+
+def run_variant(name, batch, hw, iters, decoder_channels=None, padding_mode=None,
+                patch=None):
     from vq_seg_tpu.losses import make_loss
     from vq_seg_tpu.models.layers import compute_dtype
     from vq_seg_tpu.models.networks import make_model
@@ -63,25 +135,30 @@ def run_variant(name, batch, hw, iters, decoder_channels=None, padding_mode=None
             return core(x, train, init_codebook)
 
         vqu._PTNet._trunk = _trunk
+    unpatch = patch() if patch is not None else None
     try:
         tx = optax.adam(1e-4)
         dice = make_loss("dice_loss", 3, ignore_index=255)
-        key = jax.random.PRNGKey(0)
-        x = jax.random.uniform(key, (batch, hw, hw, 3), jnp.float32)
-        gt = jnp.zeros((batch, hw, hw), jnp.int32)
+        # distinct labeled/unlabeled inputs and non-trivial gt: identical
+        # constant arrays let XLA CSE the two trunk forwards (~25% phantom
+        # speedup — the caveat in BASELINE.md)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        x = jax.random.uniform(k1, (batch, hw, hw, 3), jnp.float32)
+        x_ul = jax.random.uniform(k2, (batch, hw, hw, 3), jnp.float32)
+        gt = jax.random.randint(k3, (batch, hw, hw), 0, 3, jnp.int32)
         with compute_dtype(jnp.bfloat16):
             state = create_cps_state(model, tx, (x, gt, 0.7))
             state = cps_init_phase(model, state, x, gt, 0.7)
             state = stack_cps_state(state, tx)
             step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
                                                confidence_threshold=0.7, remat=False)
-            state, m, _, _ = step(state, x, gt, x)
+            state, m, _, _ = step(state, x, gt, x_ul)
             float(m["loss"])
             best = 0.0
             for _ in range(3):
                 t0 = time.perf_counter()
                 for _ in range(iters):
-                    state, m, _, _ = step(state, x, gt, x)
+                    state, m, _, _ = step(state, x, gt, x_ul)
                 float(m["loss"])
                 dt = (time.perf_counter() - t0) / iters
                 best = max(best, 2 * batch / dt)
@@ -92,6 +169,8 @@ def run_variant(name, batch, hw, iters, decoder_channels=None, padding_mode=None
     finally:
         if padding_mode is not None:
             vqu._PTNet._trunk = orig
+        if unpatch is not None:
+            unpatch()
 
 
 def main():
@@ -108,6 +187,12 @@ def main():
         "pad_zeros": dict(padding_mode="zeros"),
         "bs8": dict(),
         "dec_256_bs8": dict(decoder_channels=(256, 128, 64, 48, 32)),
+        # round-3 structural levers (VERDICT r2 #7): measured win/loss
+        # recorded in BASELINE.md either way
+        "s2d_stem": dict(patch=_patch_s2d_stem),
+        "subpixel_tail": dict(patch=_patch_subpixel_tail),
+        "s2d_subpixel": dict(patch=lambda: (lambda u1, u2: (lambda: (u1(), u2())))(
+            _patch_s2d_stem(), _patch_subpixel_tail())),
     }
     for name, kw in variants.items():
         if args.only and name != args.only:
