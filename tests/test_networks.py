@@ -118,3 +118,49 @@ def test_convnext_unet():
     v = m.init({"params": jax.random.PRNGKey(0)}, x)
     out = m.apply(v, x, train=False)
     assert out.shape == (1, 32, 32, 3)  # stride-4 decoder end, x4 head
+
+
+def test_subpixel_tail_contract():
+    """Tuned-profile decoder tail (modules/decoder.py::UnetDecoder
+    subpixel_tail): same output/param-surface contract as the reference
+    layout — identical logits shape, trains a CPS step, and the tail block
+    runs at half resolution with 4x channels (+9.2% measured at 512^2,
+    BASELINE.md round-3 levers)."""
+    import optax
+
+    from vq_seg_tpu.losses import make_loss
+    from vq_seg_tpu.training.cps import (
+        cps_init_phase,
+        create_cps_state,
+        make_cps_train_step_stacked,
+        stack_cps_state,
+    )
+
+    base = _mk("vqreptunet1x1v2", vq_cfg=VQ8, margin=0.5, scale=30.0)
+    sub = _mk("vqreptunet1x1v2", vq_cfg=VQ8, margin=0.5, scale=30.0,
+              subpixel_tail=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    gt = jnp.zeros((1, 32, 32), jnp.int32)
+    vb = base.init({"params": jax.random.PRNGKey(0)}, x, gt, 0.7, train=True)
+    vs = sub.init({"params": jax.random.PRNGKey(0)}, x, gt, 0.7, train=True)
+    ob = base.apply(vb, x, train=False)
+    os_ = sub.apply(vs, x, train=False)
+    assert ob[0].shape == os_[0].shape == (1, 32, 32, 3)
+    # the tail block carries 4x channels in the subpixel layout
+    blk = "block4"
+    cb = vb["params"]["core"]["decoder"][blk]["ConvBNReLU_1"]["ConvPad_0"]["Conv_0"]["kernel"]
+    cs = vs["params"]["core"]["decoder"][blk]["ConvBNReLU_1"]["ConvPad_0"]["Conv_0"]["kernel"]
+    assert cs.shape[-1] == 4 * cb.shape[-1], (cb.shape, cs.shape)
+
+    tx = optax.adam(1e-3)
+    dice = make_loss("dice_loss", 3, ignore_index=255)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, 3, size=(2, 32, 32)).astype(np.int32))
+    st = create_cps_state(sub, tx, (img, tgt, 0.7))
+    st = cps_init_phase(sub, st, img, tgt, 0.7)
+    st = stack_cps_state(st, tx)
+    step = make_cps_train_step_stacked(sub, tx, dice, num_classes=3,
+                                       confidence_threshold=0.7)
+    _, m, _, _ = step(st, img, tgt, img)
+    assert np.isfinite(float(m["loss"]))

@@ -108,6 +108,7 @@ class VQUnetCore(nn.Module):
     decoder_cca: Optional[Tuple[bool, ...]] = None  # vqcanetv3
     stem: str = "default"             # "convmixer" (vqpatchunet)
     mixer_depth: int = 3
+    subpixel_tail: bool = False       # tuned-profile decoder tail (decoder.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False, init_codebook: bool = False):
@@ -164,7 +165,9 @@ class VQUnetCore(nn.Module):
             commit = commit / len(features)
 
         dec_ch = _decoder_channels(enc_ch, self.decoder_channels)
-        decoder_out = UnetDecoder(dec_ch, cca=self.decoder_cca, name="decoder")(features, train)
+        decoder_out = UnetDecoder(dec_ch, cca=self.decoder_cca,
+                                  subpixel_tail=self.subpixel_tail,
+                                  name="decoder")(features, train)
         usage_vec = jnp.stack(usages) if usages else jnp.zeros((0,), jnp.float32)
         return decoder_out, commit, usage_vec, dec_ch, features
 
@@ -271,6 +274,7 @@ class _PTNet(nn.Module):
     head_layers: int = 1
     proto_kind: str = "prototype"
     t: float = 0.1  # vqretemptunet temperature (reference config "t")
+    subpixel_tail: bool = False  # tuned-profile decoder tail (decoder.py)
 
     def _proto(self, dec_ch):
         kw = dict(num_classes=self.num_classes, embedding_dim=dec_ch[-1],
@@ -307,7 +311,7 @@ class _PTNet(nn.Module):
     def _trunk(self, x, train, init_codebook):
         core = VQUnetCore(self.encoder_name, FrozenDict(dict(self.vq_cfg)), self.in_channels,
                           self.decoder_channels, self.depth, padding_mode="reflect",
-                          name="core")
+                          subpixel_tail=self.subpixel_tail, name="core")
         return core(x, train, init_codebook)
 
 
