@@ -27,6 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to run")
     args = ap.parse_args()
 
     import tools.parity_run as pr
@@ -53,14 +55,21 @@ def main():
         "reference (enc//2 reversed)": None,
         "dec_512": (512, 256, 128, 64, 32),
         "dec_256": (256, 128, 64, 48, 32),
+        # round-3 lever: same channel plan, tail block in subpixel space
+        # (modules/decoder.py::UnetDecoder.subpixel_tail; +9.2% at 512^2)
+        "subpixel_tail": "subpixel",
     }
     results = {}
     for name, plan in plans.items():
+        if args.only and name not in args.only.split(","):
+            continue
         params = {"encoder_name": "resnet18", "num_classes": 3,
                   "vq_cfg": {"num_embeddings": [0, 0, 8, 8, 8],
                              "distance": "euclidean", "kmeans_init": True},
                   "margin": 0.5, "scale": 30.0}
-        if plan is not None:
+        if plan == "subpixel":
+            params["subpixel_tail"] = True
+        elif plan is not None:
             params["decoder_channels"] = list(plan)
         model = make_model({"name": "vqreptunet1x1v2", "params": params})
         tx = optax.adam(1e-4)
