@@ -1,0 +1,92 @@
+"""Packed checkpoint fetch + light snapshots (round-3 production-run fixes).
+
+The production run at 448^2 exposed the tunneled device->host fetch as the
+dominant checkpoint cost (~1.5 GB state, ~1000 leaves, 0.5-3 MB/s through
+the axon relay — BASELINE.md round 3).  Fixes under test:
+
+  * ``_to_host`` packs same-dtype leaves into ONE device array under jit
+    and fetches once per dtype group (utils/ckpoints.py) — must be
+    bit-exact vs the leaf-wise path for mixed shapes/dtypes.
+  * ``fetch_ckpt_tree`` + ``save_ckpoints(prefetched=...)`` share one fetch
+    between a snapshot and last.ckpt written in the same epoch.
+  * ``include_optimizers=False`` (cfg.train.light_snapshots) writes
+    model-only snapshots; ``load_ckpoints(istrain=True)`` on one raises a
+    clear error pointing at last.ckpt.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vq_seg_tpu.utils import ckpoints as ck
+
+
+def _tree(scale=1):
+    # mixed dtypes + shapes; total > _PACK_THRESHOLD_BYTES when scale big
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 4)
+    return {
+        "w": jax.random.normal(ks[0], (scale, 257, 33)),
+        "b": jax.random.normal(ks[1], (129,)),
+        "bf": jax.random.normal(ks[2], (scale, 64)).astype(jnp.bfloat16),
+        "idx": jax.random.randint(ks[3], (scale, 7), 0, 100, jnp.int32),
+        "step": jnp.int32(7),
+        "py_scalar": 3,
+    }
+
+
+def test_packed_to_host_bit_exact():
+    big = _tree(scale=1200)  # ~41 MB float32 -> packed path
+    total = sum(l.nbytes for l in jax.tree_util.tree_leaves(big)
+                if isinstance(l, jax.Array))
+    assert total > ck._PACK_THRESHOLD_BYTES
+    packed = ck._to_host(big)
+    leafwise = jax.tree_util.tree_map(np.asarray, big)
+    for p, l in zip(jax.tree_util.tree_leaves(packed),
+                    jax.tree_util.tree_leaves(leafwise)):
+        assert np.asarray(p).dtype == np.asarray(l).dtype
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(l))
+
+
+def test_small_tree_stays_leafwise():
+    small = _tree(scale=2)
+    out = ck._to_host(small)
+    for p, l in zip(jax.tree_util.tree_leaves(out),
+                    jax.tree_util.tree_leaves(small)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(l))
+
+
+def test_prefetched_and_light_snapshots(tmp_path):
+    m1 = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    m2 = {"params": {"w": jnp.arange(6.0).reshape(2, 3) + 1}}
+    o1 = {"mu": jnp.ones((4,))}
+    o2 = {"mu": jnp.ones((4,)) * 2}
+    host = ck.fetch_ckpt_tree(m1, m2, 3, 1, o1, o2)
+    snap = os.path.join(str(tmp_path), "0ep.ckpt")
+    last = os.path.join(str(tmp_path), "last.ckpt")
+    ck.save_ckpoints(m1, m2, 3, 1, o1, o2, snap, async_save=False,
+                     prefetched=host, include_optimizers=False)
+    ck.save_ckpoints(m1, m2, 3, 1, o1, o2, last, async_save=False,
+                     prefetched=host)
+
+    full = ck.load_full(last)
+    assert set(full) == {"model_1", "model_2", "epoch", "batch_idx",
+                         "optimizer_1", "optimizer_2"}
+    np.testing.assert_array_equal(full["optimizer_2"]["mu"], np.ones((4,)) * 2)
+
+    light = ck.load_full(snap)
+    assert "optimizer_1" not in light and "optimizer_2" not in light
+    np.testing.assert_array_equal(light["model_1"]["params"]["w"],
+                                  np.arange(6.0).reshape(2, 3))
+    # eval path works on a light snapshot...
+    np.testing.assert_array_equal(
+        np.asarray(ck.load_ckpoints(snap, istrain=False)["params"]["w"]),
+        np.arange(6.0).reshape(2, 3))
+    # ...resume refuses it with a pointer at last.ckpt
+    with pytest.raises(ValueError, match="light"):
+        ck.load_ckpoints(snap, istrain=True)
+    # resume from last.ckpt unaffected
+    _m2, ep, bi, _o1, _o2 = ck.load_ckpoints(last, istrain=True)
+    assert int(ep) == 3 and int(bi) == 1

@@ -1031,13 +1031,27 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                 snap_every = max(10, ckpt_every)
                 if epoch % snap_every == 0 or epoch % ckpt_every == 0 \
                         or epoch == num_epochs - 1:
+                    from vq_seg_tpu.utils.ckpoints import fetch_ckpt_tree
+
                     v1_ck, v2_ck = unstack_cps_state(state)
                     o1_ck, o2_ck = unstack_opt_state(state.opt_state_1)
+                    # ONE packed device->host fetch shared by snapshot and
+                    # last.ckpt — through a tunneled chip the fetch is the
+                    # dominant save cost (BASELINE.md round-3 production run)
+                    host_ck = fetch_ckpt_tree(v1_ck, v2_ck, epoch, batch_idx,
+                                              o1_ck, o2_ck)
                     if epoch % snap_every == 0:
+                        # cfg.train.light_snapshots: snapshots keep models
+                        # only (the sweep reads model_1); last.ckpt always
+                        # keeps the full resume contract
                         save_ckpoints(v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
-                                      os.path.join(ckpoints_dir, f"{epoch}ep.ckpt"))
+                                      os.path.join(ckpoints_dir, f"{epoch}ep.ckpt"),
+                                      prefetched=host_ck,
+                                      include_optimizers=not cfg.train.get(
+                                          "light_snapshots", False))
                     save_ckpoints(v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
-                                  os.path.join(ckpoints_dir, "last.ckpt"))
+                                  os.path.join(ckpoints_dir, "last.ckpt"),
+                                  prefetched=host_ck)
             if logger is not None:
                 logger.log_dict.update({k: float(v) for k, v in avg.items()})
                 logger.log_dict.update(dict(back_iou=back_iou, weed_iou=weed_iou,

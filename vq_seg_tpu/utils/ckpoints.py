@@ -22,12 +22,49 @@ import tarfile
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
 
+# Packed device->host fetch.  A production CPS state is ~1.5 GB across
+# ~1000 leaves; through a tunneled chip (axon) the per-transfer overhead
+# dominates — measured 2026-08-17: ~1000 leaf-wise fetches sustain ~0.5
+# MB/s while a single large transfer reaches ~3 MB/s (the tunnel also has
+# minutes-scale throughput variance).  Packing all same-dtype leaves into
+# ONE 1-D device array under jit and fetching once per dtype group turns a
+# ~30-minute state fetch into the single-transfer rate.  On a directly
+# attached TPU this is simply one DMA instead of a thousand.
+_PACK_THRESHOLD_BYTES = 32 * 1024 * 1024
+
+
+@jax.jit
+def _pack(leaves):
+    flat = [l.ravel() for l in leaves]
+    return jnp.concatenate(flat) if len(flat) > 1 else flat[0]
+
+
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    jax_idx = [i for i, l in enumerate(leaves)
+               if isinstance(l, jax.Array) and l.size > 0]
+    total = sum(leaves[i].nbytes for i in jax_idx)
+    out: list = [None] * len(leaves)
+    if total >= _PACK_THRESHOLD_BYTES:
+        groups: dict = {}
+        for i in jax_idx:
+            groups.setdefault(np.dtype(leaves[i].dtype), []).append(i)
+        for _dt, idxs in groups.items():
+            flat = np.asarray(_pack([leaves[i] for i in idxs]))
+            off = 0
+            for i in idxs:
+                n = leaves[i].size
+                out[i] = flat[off:off + n].reshape(leaves[i].shape)
+                off += n
+    for i, l in enumerate(leaves):
+        if out[i] is None:
+            out[i] = np.asarray(l)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 # Async checkpointing: the reference writes last.pth EVERY epoch
@@ -54,19 +91,24 @@ def wait_for_saves():
         _ASYNC_CKPTR.wait_until_finished()
 
 
-def _save_tree(path: str, tree: Any, async_save: bool = False):
+def _save_tree(path: str, tree: Any, async_save: bool = False,
+               on_host: bool = False):
+    """``on_host=True`` promises the tree is already host numpy (e.g. a
+    prefetched state shared between a snapshot and last.ckpt) — skips the
+    device fetch, which through a tunneled chip is the dominant save cost."""
     path = os.path.abspath(path)
+    host = tree if on_host else _to_host(tree)
     if async_save:
         ckptr = _async_ckptr()
         ckptr.wait_until_finished()
         if os.path.exists(path):
             shutil.rmtree(path)
-        ckptr.save(path, _to_host(tree))
+        ckptr.save(path, host)
         return
     if os.path.exists(path):
         shutil.rmtree(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, _to_host(tree))
+        ckptr.save(path, host)
 
 
 def _load_tree(path: str):
@@ -74,22 +116,46 @@ def _load_tree(path: str):
         return ckptr.restore(os.path.abspath(path))
 
 
-def save_ckpoints(model_1, model_2, epoch, batch_idx, optimizer_1, optimizer_2,
-                  filepath: str, async_save: bool = True):
-    _save_tree(filepath, {
+def fetch_ckpt_tree(model_1, model_2, epoch, batch_idx, optimizer_1,
+                    optimizer_2):
+    """One packed device->host fetch of the full checkpoint contract, for
+    sharing between a ``{N}ep.ckpt`` snapshot and ``last.ckpt`` written in
+    the same epoch (each ``save_ckpoints`` would otherwise re-fetch)."""
+    return _to_host({
         "model_1": model_1,
         "model_2": model_2,
         "epoch": np.asarray(epoch),
         "batch_idx": np.asarray(batch_idx),
         "optimizer_1": optimizer_1,
         "optimizer_2": optimizer_2,
-    }, async_save=async_save)
+    })
+
+
+def save_ckpoints(model_1, model_2, epoch, batch_idx, optimizer_1, optimizer_2,
+                  filepath: str, async_save: bool = True,
+                  prefetched=None, include_optimizers: bool = True):
+    """``prefetched``: a ``fetch_ckpt_tree`` result to write without
+    re-fetching.  ``include_optimizers=False`` writes a LIGHT snapshot
+    (models + epoch only — 4x fewer bytes; the eval sweep reads only
+    ``model_1``).  ``last.ckpt`` must always keep the full contract so
+    resume works — the trainer enforces that."""
+    tree = prefetched if prefetched is not None else fetch_ckpt_tree(
+        model_1, model_2, epoch, batch_idx, optimizer_1, optimizer_2)
+    if not include_optimizers:
+        tree = {k: v for k, v in tree.items()
+                if k not in ("optimizer_1", "optimizer_2")}
+    _save_tree(filepath, tree, async_save=async_save, on_host=True)
 
 
 def load_ckpoints(weights_path: str, istrain: bool):
     wait_for_saves()
     ck = _load_tree(weights_path)
     if istrain:
+        if "optimizer_1" not in ck:
+            raise ValueError(
+                f"{weights_path} is a LIGHT snapshot (no optimizer state, "
+                "cfg.train.light_snapshots) — resume from last.ckpt, which "
+                "always keeps the full contract")
         return ck["model_2"], ck["epoch"], ck["batch_idx"], ck["optimizer_1"], ck["optimizer_2"]
     return ck["model_1"]
 
