@@ -30,6 +30,54 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from vq_seg_tpu.config import get_config_from_json  # noqa: E402
 
 
+def resolve_mesh(cfg, data_parallel=False, per_device_batch=False,
+                 pair_parallel=False, devices=None):
+    """Build the training mesh from the CLI parallelism flags.
+
+    Returns None when no parallelism was requested.  With
+    ``per_device_batch`` the config's ``batch_size`` is treated as
+    PER-DEVICE (the TPU-native convention) and scaled in place to the
+    global batch; otherwise the data axis is clamped to
+    gcd(batch, devices) so the reference's batch-4 configs run (with idle
+    chips + a warning) instead of crashing on jax's divisibility rule.
+    """
+    if not (data_parallel or pair_parallel):
+        return None
+    import math
+
+    import jax
+
+    from vq_seg_tpu.parallel import make_mesh
+
+    devices = list(devices if devices is not None else jax.devices())
+    n_dev = len(devices)
+    n_model = 2 if pair_parallel else 1
+    avail = n_dev // n_model
+    if pair_parallel and avail < 1:
+        raise SystemExit("--pair_parallel needs >= 2 devices")
+    if not data_parallel:
+        n_data = 1
+    elif per_device_batch:
+        # TPU-native semantics: batch_size is per-device; global batch
+        # scales with the mesh so no chip idles
+        n_data = avail
+        cfg.train.batch_size = int(cfg.train.batch_size) * n_data
+        print(f"--per_device_batch: global batch = {cfg.train.batch_size} "
+              f"over {n_data} data-axis devices")
+    else:
+        # the data axis must divide the global batch (jax sharding rule);
+        # clamp to gcd(batch, devices) and warn about idle chips rather
+        # than crash on the reference's batch-4 configs
+        n_data = math.gcd(int(cfg.train.batch_size), avail)
+        if n_data * n_model < n_dev:
+            print(f"--data_parallel: batch {cfg.train.batch_size} shards "
+                  f"over {n_data} of {avail} devices (data axis must "
+                  f"divide the batch; use --per_device_batch or raise "
+                  f"batch_size to use all chips)")
+    return make_mesh(n_data=n_data, n_model=n_model,
+                     devices=devices[:n_data * n_model])
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", default="./config/vqreptunet1x1v2.json")
@@ -64,40 +112,9 @@ def main():
         # "mode"); explicit --mode always wins
         opt.mode = cfg.get("mode") or "cps"
 
-    mesh = None
-    if opt.data_parallel or opt.pair_parallel:
-        import math
-
-        import jax
-
-        from vq_seg_tpu.parallel import make_mesh
-
-        n_dev = len(jax.devices())
-        n_model = 2 if opt.pair_parallel else 1
-        avail = n_dev // n_model
-        if opt.pair_parallel and avail < 1:
-            raise SystemExit("--pair_parallel needs >= 2 devices")
-        if not opt.data_parallel:
-            n_data = 1
-        elif opt.per_device_batch:
-            # TPU-native semantics: batch_size is per-device; global batch
-            # scales with the mesh so no chip idles
-            n_data = avail
-            cfg.train.batch_size = int(cfg.train.batch_size) * n_data
-            print(f"--per_device_batch: global batch = {cfg.train.batch_size} "
-                  f"over {n_data} data-axis devices")
-        else:
-            # the data axis must divide the global batch (jax sharding rule);
-            # clamp to gcd(batch, devices) and warn about idle chips rather
-            # than crash on the reference's batch-4 configs
-            n_data = math.gcd(int(cfg.train.batch_size), avail)
-            if n_data * n_model < n_dev:
-                print(f"--data_parallel: batch {cfg.train.batch_size} shards "
-                      f"over {n_data} of {avail} devices (data axis must "
-                      f"divide the batch; use --per_device_batch or raise "
-                      f"batch_size to use all chips)")
-        mesh = make_mesh(n_data=n_data, n_model=n_model,
-                         devices=jax.devices()[:n_data * n_model])
+    mesh = resolve_mesh(cfg, data_parallel=opt.data_parallel,
+                        per_device_batch=opt.per_device_batch,
+                        pair_parallel=opt.pair_parallel)
 
     if opt.mode == "cps":
         from vq_seg_tpu.training import cps

@@ -36,6 +36,16 @@ def test_batch_padding(synthetic_dataset):
     assert lab.filenames[5] == lab.filenames[0]
 
 
+def test_batch_padding_tiles_past_one_wrap(synthetic_dataset):
+    """pad > len(files): 3 unlabelled files at a --per_device_batch global
+    batch of 8 must tile to a full multiple, not stop after one wrap."""
+    train = os.path.join(synthetic_dataset, "train")
+    unlab = BaseDataset(train, "unlabelled", batch_size=8)  # 3 files
+    assert len(unlab) == 8
+    assert unlab.filenames[3:6] == unlab.filenames[:3]
+    assert unlab.filenames[6:] == unlab.filenames[:2]
+
+
 def test_resize_rules(synthetic_dataset):
     train = os.path.join(synthetic_dataset, "train")
     ds = BaseDataset(train, "labelled", resize=16)

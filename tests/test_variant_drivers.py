@@ -234,3 +234,21 @@ def test_sup_driver_obia_and_normalized_datasets(synthetic_dataset, tmp_path):
         cfg["train"]["save_dir"] = None
         state = supervised.train(cfg, max_steps_per_epoch=1)
         assert state is not None
+
+
+def test_variant_driver_under_mesh(synthetic_dataset, tmp_path):
+    """VERDICT r2 #5b: the variant drivers take a mesh — run one E2E with
+    batches sharded over a 2-device data axis and assert a finite state
+    plus the reference run layout."""
+    import jax
+
+    from vq_seg_tpu.parallel import make_mesh
+    from vq_seg_tpu.training.variant_drivers import train_plain_cps
+
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    cfg = _base_cfg(synthetic_dataset, tmp_path, _vq_model("vqunet_v2"),
+                    extra_train={"batch_size": 2})
+    state = train_plain_cps(cfg, max_steps_per_epoch=1, mesh=mesh)
+    assert np.isfinite(float(np.asarray(
+        jax_leaves_first(state.variables_1["params"]))))
+    _assert_run_saved(tmp_path)

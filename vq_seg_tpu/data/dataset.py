@@ -76,7 +76,11 @@ class BaseDataset:
             raise ValueError("split has to be labelled or unlabelled")
         if batch_size is not None and len(self.filenames) % batch_size != 0:
             pad = batch_size - len(self.filenames) % batch_size
-            self.filenames = self.filenames + self.filenames[:pad]
+            # tile when pad exceeds the file count (reference-identical for
+            # pad < len; a single wrap would leave the list non-divisible,
+            # e.g. 2 unlabelled files at the --per_device_batch global batch)
+            reps = -(-pad // len(self.filenames))
+            self.filenames = self.filenames + (self.filenames * reps)[:pad]
 
     def __len__(self):
         return len(self.filenames)
@@ -138,7 +142,8 @@ class OBIADataset:
         )
         if batch_size is not None and len(self.target_files) % batch_size != 0:
             pad = batch_size - len(self.target_files) % batch_size
-            self.target_files = self.target_files + self.target_files[:pad]
+            reps = -(-pad // len(self.target_files))
+            self.target_files = self.target_files + (self.target_files * reps)[:pad]
 
     def __len__(self):
         return len(self.target_files)
