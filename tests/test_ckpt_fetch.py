@@ -58,6 +58,40 @@ def test_small_tree_stays_leafwise():
         np.testing.assert_array_equal(np.asarray(p), np.asarray(l))
 
 
+def test_chunked_fetch_flat_bit_exact():
+    """_fetch_flat pipelines ~32 MB chunks; the tail chunk overlaps
+    (dynamic_slice clamps) — must reassemble bit-exactly for divisible,
+    non-divisible, and sub-chunk sizes across dtypes."""
+    import vq_seg_tpu.utils.ckpoints as ckm
+
+    old = ckm._FETCH_CHUNK_BYTES
+    ckm._FETCH_CHUNK_BYTES = 4096  # force many chunks on tiny arrays
+    try:
+        k = jax.random.PRNGKey(1)
+        for dtype, size in ((jnp.float32, 1024), (jnp.float32, 5000),
+                            (jnp.float32, 4096 // 4 * 3),  # sub-chunk
+                            (jnp.bfloat16, 7001), (jnp.int32, 2048)):
+            a = (jax.random.normal(k, (size,)).astype(dtype)
+                 if dtype != jnp.int32
+                 else jax.random.randint(k, (size,), 0, 1000, dtype))
+            got = ckm._fetch_flat(a)
+            np.testing.assert_array_equal(got, np.asarray(a))
+    finally:
+        ckm._FETCH_CHUNK_BYTES = old
+
+
+def test_light_fetch_skips_optimizers():
+    m1 = {"params": {"w": jnp.arange(6.0)}}
+    m2 = {"params": {"w": jnp.arange(6.0) + 1}}
+    o1 = {"mu": jnp.ones((4,))}
+    light = ck.fetch_ckpt_tree(m1, m2, 3, 1, o1, o1, include_optimizers=False)
+    assert "optimizer_1" not in light and "optimizer_2" not in light
+    # a light prefetch cannot be written as a full contract
+    with pytest.raises(ValueError, match="include_optimizers"):
+        ck.save_ckpoints(m1, m2, 3, 1, o1, o1, "/tmp/never.ckpt",
+                         async_save=False, prefetched=light)
+
+
 def test_prefetched_and_light_snapshots(tmp_path):
     m1 = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}}
     m2 = {"params": {"w": jnp.arange(6.0).reshape(2, 3) + 1}}

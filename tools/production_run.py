@@ -111,6 +111,11 @@ def main():
                   # contract).  On a direct-attached v5e the same fetch is
                   # PCIe-speed seconds and the reference cadence is free.
                   "ckpt_every": args.ckpt_every,
+                  # full-contract last.ckpt only at the end: a cadence
+                  # epoch then fetches the two models (~280 MB), not the
+                  # full ~1.5 GB contract — the epoch-100 full fetch of
+                  # attempt 2 ran >70 min through the tunnel
+                  "last_every": args.epochs,
                   "light_snapshots": True,
                   # 5 steps/epoch (20 unlab / bs 4): one scanned dispatch
                   # per epoch

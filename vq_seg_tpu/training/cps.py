@@ -1026,11 +1026,19 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                     visualize.save_img(img_dir, f"output_{epoch}ep.png", example)
                 # cfg.train.ckpt_every: last.ckpt cadence (reference writes
                 # every epoch, train_…v2.py:257; the knob matters when the
-                # device->host fetch is slow, e.g. a tunneled chip)
+                # device->host fetch is slow, e.g. a tunneled chip).
+                # cfg.train.last_every decouples the FULL-contract
+                # last.ckpt from light snapshots: a light-snapshot-only
+                # cadence epoch then fetches models only (~4x fewer bytes).
                 ckpt_every = int(cfg.train.get("ckpt_every", 1) or 1)
                 snap_every = max(10, ckpt_every)
-                if epoch % snap_every == 0 or epoch % ckpt_every == 0 \
-                        or epoch == num_epochs - 1:
+                last_every = int(cfg.train.get("last_every", ckpt_every)
+                                 or ckpt_every)
+                final = epoch == num_epochs - 1
+                do_snap = epoch % snap_every == 0 or final
+                do_last = epoch % last_every == 0 or final
+                light = bool(cfg.train.get("light_snapshots", False))
+                if do_snap or do_last:
                     from vq_seg_tpu.utils.ckpoints import fetch_ckpt_tree
 
                     v1_ck, v2_ck = unstack_cps_state(state)
@@ -1038,20 +1046,21 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                     # ONE packed device->host fetch shared by snapshot and
                     # last.ckpt — through a tunneled chip the fetch is the
                     # dominant save cost (BASELINE.md round-3 production run)
-                    host_ck = fetch_ckpt_tree(v1_ck, v2_ck, epoch, batch_idx,
-                                              o1_ck, o2_ck)
-                    if epoch % snap_every == 0:
+                    host_ck = fetch_ckpt_tree(
+                        v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
+                        include_optimizers=do_last or not light)
+                    if do_snap:
                         # cfg.train.light_snapshots: snapshots keep models
                         # only (the sweep reads model_1); last.ckpt always
                         # keeps the full resume contract
                         save_ckpoints(v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
                                       os.path.join(ckpoints_dir, f"{epoch}ep.ckpt"),
                                       prefetched=host_ck,
-                                      include_optimizers=not cfg.train.get(
-                                          "light_snapshots", False))
-                    save_ckpoints(v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
-                                  os.path.join(ckpoints_dir, "last.ckpt"),
-                                  prefetched=host_ck)
+                                      include_optimizers=not light)
+                    if do_last:
+                        save_ckpoints(v1_ck, v2_ck, epoch, batch_idx, o1_ck, o2_ck,
+                                      os.path.join(ckpoints_dir, "last.ckpt"),
+                                      prefetched=host_ck)
             if logger is not None:
                 logger.log_dict.update({k: float(v) for k, v in avg.items()})
                 logger.log_dict.update(dict(back_iou=back_iou, weed_iou=weed_iou,

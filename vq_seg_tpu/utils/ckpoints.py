@@ -16,6 +16,7 @@ not single files — the ``.ckpt`` suffix is a directory name.
 """
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import tarfile
@@ -30,18 +31,50 @@ import orbax.checkpoint as ocp
 # Packed device->host fetch.  A production CPS state is ~1.5 GB across
 # ~1000 leaves; through a tunneled chip (axon) the per-transfer overhead
 # dominates — measured 2026-08-17: ~1000 leaf-wise fetches sustain ~0.5
-# MB/s while a single large transfer reaches ~3 MB/s (the tunnel also has
-# minutes-scale throughput variance).  Packing all same-dtype leaves into
-# ONE 1-D device array under jit and fetching once per dtype group turns a
-# ~30-minute state fetch into the single-transfer rate.  On a directly
-# attached TPU this is simply one DMA instead of a thousand.
+# MB/s while ~32 MB transfers reach ~3 MB/s; very large SINGLE transfers
+# collapse again (64 MB measured at 0.16 MB/s on a bad minute, and a
+# single ~1.4 GB fetch ran >70 min before being killed).  So: pack all
+# same-dtype leaves into ONE 1-D device array under jit, then fetch it in
+# ~32 MB chunks with `copy_to_host_async` pipelining.  On a directly
+# attached TPU this is a handful of DMAs instead of a thousand.
 _PACK_THRESHOLD_BYTES = 32 * 1024 * 1024
+_FETCH_CHUNK_BYTES = 32 * 1024 * 1024
 
 
 @jax.jit
 def _pack(leaves):
     flat = [l.ravel() for l in leaves]
     return jnp.concatenate(flat) if len(flat) > 1 else flat[0]
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def _chunk(flat, start, n):
+    return jax.lax.dynamic_slice(flat, (start,), (n,))
+
+
+def _fetch_flat(flat):
+    """Chunked, pipelined device->host copy of a packed 1-D array.
+
+    One ``_chunk`` compilation serves every chunk (dynamic start, static
+    size); all chunk copies are started async before the first blocking
+    read so the transport can stream.  dynamic_slice clamps the final
+    start to ``size - n``, so the tail chunk overlaps the previous one and
+    only its suffix is used.
+    """
+    n = max(1, _FETCH_CHUNK_BYTES // np.dtype(flat.dtype).itemsize)
+    if flat.size <= n:
+        return np.asarray(flat)
+    pieces = []
+    for s in range(0, flat.size, n):
+        clamped = min(s, flat.size - n)
+        pieces.append((s, clamped, _chunk(flat, clamped, n)))
+    for _, _, c in pieces:
+        c.copy_to_host_async()
+    out = np.empty(flat.size, np.dtype(flat.dtype))
+    for s, clamped, c in pieces:
+        h = np.asarray(c)[s - clamped:]
+        out[s:s + h.size] = h
+    return out
 
 
 def _to_host(tree):
@@ -55,7 +88,7 @@ def _to_host(tree):
         for i in jax_idx:
             groups.setdefault(np.dtype(leaves[i].dtype), []).append(i)
         for _dt, idxs in groups.items():
-            flat = np.asarray(_pack([leaves[i] for i in idxs]))
+            flat = _fetch_flat(_pack([leaves[i] for i in idxs]))
             off = 0
             for i in idxs:
                 n = leaves[i].size
@@ -117,18 +150,24 @@ def _load_tree(path: str):
 
 
 def fetch_ckpt_tree(model_1, model_2, epoch, batch_idx, optimizer_1,
-                    optimizer_2):
-    """One packed device->host fetch of the full checkpoint contract, for
+                    optimizer_2, include_optimizers: bool = True):
+    """One packed device->host fetch of the checkpoint contract, for
     sharing between a ``{N}ep.ckpt`` snapshot and ``last.ckpt`` written in
-    the same epoch (each ``save_ckpoints`` would otherwise re-fetch)."""
-    return _to_host({
+    the same epoch (each ``save_ckpoints`` would otherwise re-fetch).
+
+    ``include_optimizers=False`` fetches models only (~4x fewer bytes) —
+    for cadence epochs that write just a light snapshot and no
+    ``last.ckpt``; the result cannot be used to write a full contract."""
+    tree = {
         "model_1": model_1,
         "model_2": model_2,
         "epoch": np.asarray(epoch),
         "batch_idx": np.asarray(batch_idx),
-        "optimizer_1": optimizer_1,
-        "optimizer_2": optimizer_2,
-    })
+    }
+    if include_optimizers:
+        tree["optimizer_1"] = optimizer_1
+        tree["optimizer_2"] = optimizer_2
+    return _to_host(tree)
 
 
 def save_ckpoints(model_1, model_2, epoch, batch_idx, optimizer_1, optimizer_2,
@@ -140,7 +179,13 @@ def save_ckpoints(model_1, model_2, epoch, batch_idx, optimizer_1, optimizer_2,
     ``model_1``).  ``last.ckpt`` must always keep the full contract so
     resume works — the trainer enforces that."""
     tree = prefetched if prefetched is not None else fetch_ckpt_tree(
-        model_1, model_2, epoch, batch_idx, optimizer_1, optimizer_2)
+        model_1, model_2, epoch, batch_idx, optimizer_1, optimizer_2,
+        include_optimizers=include_optimizers)
+    if include_optimizers and "optimizer_1" not in tree:
+        raise ValueError(
+            "prefetched tree has no optimizer state (fetched with "
+            "include_optimizers=False) but a full-contract write was "
+            "requested — refetch with include_optimizers=True")
     if not include_optimizers:
         tree = {k: v for k, v in tree.items()
                 if k not in ("optimizer_1", "optimizer_2")}
