@@ -58,6 +58,8 @@ def main():
         # round-3 lever: same channel plan, tail block in subpixel space
         # (modules/decoder.py::UnetDecoder.subpixel_tail; +9.2% at 512^2)
         "subpixel_tail": "subpixel",
+        # the tuned-profile candidate: narrow plan + subpixel tail together
+        "dec_256_subpixel": ((256, 128, 64, 48, 32), "subpixel"),
     }
     results = {}
     for name, plan in plans.items():
@@ -68,6 +70,9 @@ def main():
                              "distance": "euclidean", "kmeans_init": True},
                   "margin": 0.5, "scale": 30.0}
         if plan == "subpixel":
+            params["subpixel_tail"] = True
+        elif isinstance(plan, tuple) and plan and plan[-1] == "subpixel":
+            params["decoder_channels"] = list(plan[0])
             params["subpixel_tail"] = True
         elif plan is not None:
             params["decoder_channels"] = list(plan)
