@@ -92,6 +92,26 @@ def test_light_fetch_skips_optimizers():
                          async_save=False, prefetched=light)
 
 
+def test_ckpt_cadence_decoupled():
+    """cfg.train.last_every decouples the full-contract last.ckpt from
+    light snapshots (training/cps.py::ckpt_cadence)."""
+    from vq_seg_tpu.config import Config
+    from vq_seg_tpu.training.cps import ckpt_cadence
+
+    # reference defaults: last every epoch, snapshots every 10
+    cfg = Config({"train": {}})
+    assert ckpt_cadence(cfg, 3, 400) == (False, True, False)
+    assert ckpt_cadence(cfg, 20, 400) == (True, True, False)
+
+    # production validation profile: light snapshots at 100, full
+    # last.ckpt only at the end
+    cfg = Config({"train": {"ckpt_every": 100, "last_every": 400,
+                            "light_snapshots": True}})
+    assert ckpt_cadence(cfg, 100, 400) == (True, False, True)
+    assert ckpt_cadence(cfg, 150, 400) == (False, False, True)
+    assert ckpt_cadence(cfg, 399, 400) == (True, True, True)  # final: both
+
+
 def test_prefetched_and_light_snapshots(tmp_path):
     m1 = {"params": {"w": jnp.arange(6.0).reshape(2, 3)}}
     m2 = {"params": {"w": jnp.arange(6.0).reshape(2, 3) + 1}}

@@ -759,6 +759,32 @@ def evaluate(model, variables, loader, pixel_to_label, num_classes: int,
     return total / max(n, 1)
 
 
+def ckpt_cadence(cfg, epoch: int, num_epochs: int):
+    """Checkpoint-cadence decision for one epoch: ``(do_snap, do_last,
+    light)``.
+
+    * ``cfg.train.ckpt_every`` — last.ckpt cadence (reference writes every
+      epoch, train_…v2.py:257; the knob matters when the device->host
+      fetch is slow, e.g. a tunneled chip).  Snapshots (``{N}ep.ckpt``)
+      keep the reference 10-epoch cadence or ``ckpt_every``, whichever is
+      coarser.
+    * ``cfg.train.last_every`` — decouples the FULL-contract last.ckpt
+      from snapshots (defaults to ``ckpt_every``): a light-snapshot-only
+      cadence epoch then fetches models only (~4x fewer bytes).
+    * ``cfg.train.light_snapshots`` — snapshots keep models only (the
+      eval sweep reads model_1); last.ckpt always keeps the full resume
+      contract.
+    The final epoch always writes both."""
+    ckpt_every = int(cfg.train.get("ckpt_every", 1) or 1)
+    snap_every = max(10, ckpt_every)
+    last_every = int(cfg.train.get("last_every", ckpt_every) or ckpt_every)
+    final = epoch == num_epochs - 1
+    do_snap = epoch % snap_every == 0 or final
+    do_last = epoch % last_every == 0 or final
+    light = bool(cfg.train.get("light_snapshots", False))
+    return do_snap, do_last, light
+
+
 def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     """Flagship CPS driver mirroring reference train() (train_…v2.py:48-274).
 
@@ -1024,20 +1050,7 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                     logger.image_update(example, f"{epoch}ep")
                 if cfg.train.save_img:
                     visualize.save_img(img_dir, f"output_{epoch}ep.png", example)
-                # cfg.train.ckpt_every: last.ckpt cadence (reference writes
-                # every epoch, train_…v2.py:257; the knob matters when the
-                # device->host fetch is slow, e.g. a tunneled chip).
-                # cfg.train.last_every decouples the FULL-contract
-                # last.ckpt from light snapshots: a light-snapshot-only
-                # cadence epoch then fetches models only (~4x fewer bytes).
-                ckpt_every = int(cfg.train.get("ckpt_every", 1) or 1)
-                snap_every = max(10, ckpt_every)
-                last_every = int(cfg.train.get("last_every", ckpt_every)
-                                 or ckpt_every)
-                final = epoch == num_epochs - 1
-                do_snap = epoch % snap_every == 0 or final
-                do_last = epoch % last_every == 0 or final
-                light = bool(cfg.train.get("light_snapshots", False))
+                do_snap, do_last, light = ckpt_cadence(cfg, epoch, num_epochs)
                 if do_snap or do_last:
                     from vq_seg_tpu.utils.ckpoints import fetch_ckpt_tree
 
