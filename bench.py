@@ -90,7 +90,7 @@ def _flops_of(compiled):
 
 
 def run_profile(batch, hw, iters, half, scan_steps, decoder_channels=None,
-                seed=0):
+                seed=0, subpixel_tail=False):
     from contextlib import nullcontext
 
     from vq_seg_tpu.losses import make_loss
@@ -112,6 +112,8 @@ def run_profile(batch, hw, iters, half, scan_steps, decoder_channels=None,
     }
     if decoder_channels is not None:
         params["decoder_channels"] = list(decoder_channels)
+    if subpixel_tail:
+        params["subpixel_tail"] = True
     model = make_model({"name": "vqreptunet1x1v2", "params": params})
     tx = optax.adam(1e-4)
     dice = make_loss("dice_loss", 3, ignore_index=255)
@@ -156,6 +158,11 @@ def main(hw: int = 512, iters: int = 4, half: bool = True,
     default = run_profile(4, hw, iters, half, scan_steps)
     tuned = run_profile(8, hw, iters, half, scan_steps,
                         decoder_channels=(256, 128, 64, 48, 32), seed=1)
+    # third profile: + subpixel decoder tail (equal accuracy, 3-seed paired
+    # gate mean delta +0.006 — tools/decoder_plan_accuracy.py, BASELINE.md)
+    tuned_sp = run_profile(8, hw, iters, half, scan_steps,
+                           decoder_channels=(256, 128, 64, 48, 32), seed=2,
+                           subpixel_tail=True)
     print(json.dumps({
         "metric": "flagship CPS train step images/sec/chip @512^2 (bs 4+4, resnet50, K=512 VQ, bf16, scan_steps=8)",
         "value": round(default["ips"], 3),
@@ -172,6 +179,16 @@ def main(hw: int = 512, iters: int = 4, half: bool = True,
             "mfu": round(tuned["mfu"], 4),
             "model_tflops_per_s": round(tuned["tflops"], 2),
             "ms_per_step": round(tuned["ms_per_step"], 2),
+        },
+        "tuned_subpixel": {
+            "profile": "tuned + subpixel decoder tail (equal-accuracy, "
+                       "3-seed gate)",
+            "value": round(tuned_sp["ips"], 3),
+            "unit": "images/sec",
+            "vs_baseline": round(tuned_sp["ips"] / (5 * CPU_BASELINE_IPS), 3),
+            "mfu": round(tuned_sp["mfu"], 4),
+            "model_tflops_per_s": round(tuned_sp["tflops"], 2),
+            "ms_per_step": round(tuned_sp["ms_per_step"], 2),
         },
     }))
 

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--hw", type=int, default=64)
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names to run")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init + data seed (run several for a noise band)")
     args = ap.parse_args()
 
     import tools.parity_run as pr
@@ -46,7 +48,7 @@ def main():
     old_hw = pr.HW
     pr.HW = args.hw
     try:
-        (l_img, l_gt), ul_img, (t_img, t_gt) = pr.make_synthetic()
+        (l_img, l_gt), ul_img, (t_img, t_gt) = pr.make_synthetic(seed=args.seed)
     finally:
         pr.HW = old_hw
     jl, jg, ju = map(jnp.asarray, (l_img, l_gt, ul_img))
@@ -79,7 +81,8 @@ def main():
         model = make_model({"name": "vqreptunet1x1v2", "params": params})
         tx = optax.adam(1e-4)
         dice = make_loss("dice_loss", 3, ignore_index=255)
-        state = create_cps_state(model, tx, (jl, jg, 0.7))
+        state = create_cps_state(model, tx, (jl, jg, 0.7),
+                                 rngs_seed=args.seed)
         state = cps_init_phase(model, state, jl, jg, 0.7)
         state = stack_cps_state(state, tx)
         step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
