@@ -8,6 +8,11 @@ N).  Layout is NHWC float32 in [0,1] (torchvision ``to_tensor`` semantics);
 masks stay uint8 (raw grayscale pixel values — class mapping happens
 on-device via ``seg_tools.img_to_label``'s fused LUT gather).
 
+Decode hot path is native C (``data/_fastimg.c`` via ``fastimg.py``):
+libdeflate inflate + fused PIL-convention resample + float conversion in
+one GIL-free call (1.37x PIL end-to-end, masks bit-exact); PIL is the
+automatic fallback (odd formats, no compiler, ``VQ_SEG_NO_FASTIMG=1``).
+
 Reference semantics preserved (data/dataset.py:15-62):
   * dir layout ``{data_dir}/input/*.png`` + ``{data_dir}/target/*.png``
   * split='labelled'  -> files present in target/
@@ -32,6 +37,8 @@ try:
 except ImportError:  # pragma: no cover
     Image = None
 
+from vq_seg_tpu.data import fastimg
+
 
 def _norm_resize(resize):
     if isinstance(resize, int):
@@ -44,6 +51,17 @@ def _norm_resize(resize):
 
 
 def _load_pair(img_path, target_path, resize, target_resize):
+    # native fast path: libpng decode + fused PIL-convention resample +
+    # float conversion in one GIL-free C call (data/fastimg.py; <=1/255 from
+    # the PIL bilinear path, masks bit-exact — tests/test_fastimg.py).
+    img_np = fastimg.load_rgb_f32(img_path, resize)
+    if img_np is not None:
+        tgt_np = None
+        if target_path:
+            tgt_np = fastimg.load_gray_u8(
+                target_path, resize if target_resize else None)
+        if tgt_np is not None or not target_path:
+            return img_np, tgt_np
     img = Image.open(img_path).convert("RGB")
     target = Image.open(target_path).convert("L") if target_path else None
     if resize is not None:
@@ -122,10 +140,14 @@ class SalientDataset(BaseDataset):
 
     def __getitem__(self, index):
         out = super().__getitem__(index)
-        sal = Image.open(os.path.join(self.salient_dir, out["filename"])).convert("L")
-        if self.resize is not None:
-            sal = sal.resize(self.resize, resample=Image.NEAREST)
-        out["salient_map"] = np.asarray(sal, dtype=np.float32) / 255.0
+        sal_path = os.path.join(self.salient_dir, out["filename"])
+        sal_np = fastimg.load_gray_u8(sal_path, self.resize)
+        if sal_np is None:
+            sal = Image.open(sal_path).convert("L")
+            if self.resize is not None:
+                sal = sal.resize(self.resize, resample=Image.NEAREST)
+            sal_np = np.asarray(sal, dtype=np.uint8)
+        out["salient_map"] = sal_np.astype(np.float32) / 255.0
         return out
 
 
