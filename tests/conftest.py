@@ -20,6 +20,16 @@ if "xla_force_host_platform_device_count" not in flags:
 if "collective_call_terminate" not in flags:
     flags += (" --xla_cpu_collective_timeout_seconds=900"
               " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+# XLA:CPU AOT cache entries compiled with avx512 embed the LLVM tuning
+# pseudo-features +prefer-no-scatter/+prefer-no-gather, which the load-time
+# host-feature check does not report — so every BIG cached program fails
+# the check and silently recompiles (measured: the 8-device mesh CPS step
+# paid its full ~50 s GSPMD compile on every run, "warm" or not, and the
+# loader warns about possible SIGILL).  Capping the ISA at AVX2 keeps the
+# compile-time feature set within what the check reports, making the
+# persistent cache actually round-trip.
+if "xla_cpu_max_isa" not in flags:
+    flags += " --xla_cpu_max_isa=AVX2"
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

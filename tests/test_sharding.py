@@ -1,5 +1,12 @@
 """Multi-device data-parallel tests on the virtual 8-device CPU mesh —
-the TPU-native substitute for multi-node testing (SURVEY.md §4)."""
+the TPU-native substitute for multi-node testing (SURVEY.md §4).
+
+The four production-step equivalence tests share one module-scoped flagship
+setup (model, initialised stacked state, compiled single-device step): the
+state build costs ~25 s and the shared jit object lets the in-process
+executable cache serve every test's single-device reference, so the module
+pays those once instead of four times (VERDICT r2 weak #5).
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +14,52 @@ import optax
 import pytest
 
 from vq_seg_tpu.parallel import batch_sharding, make_mesh, replicated
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    """Flagship (resnet18-trunk) CPS setup for the mesh equivalence tests:
+    returns (model, tx, dice, fresh, step) where ``fresh()`` copies the
+    initialised STACKED state (the step donates its input) and ``step`` is
+    the shared single-device stacked train step."""
+    from types import SimpleNamespace
+
+    from vq_seg_tpu.losses import make_loss
+    from vq_seg_tpu.models.networks import make_model
+    from vq_seg_tpu.training.cps import (
+        cps_init_phase,
+        create_cps_state,
+        make_cps_train_step_stacked,
+        stack_cps_state,
+    )
+
+    model = make_model({"name": "vqreptunet1x1v2", "params": {
+        "encoder_name": "resnet18", "num_classes": 3,
+        "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4], "distance": "euclidean",
+                   "kmeans_init": True},
+        "margin": 0.5, "scale": 30.0,
+    }})
+    tx = optax.adam(1e-3)
+    dice = make_loss("dice_loss", 3, ignore_index=255)
+    rng = np.random.default_rng(0)
+    l_img = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
+    l_tgt = jnp.asarray(rng.integers(0, 3, size=(4, 32, 32)).astype(np.int32))
+
+    state = create_cps_state(model, tx, (l_img, l_tgt, 0.7))
+    state = cps_init_phase(model, state, l_img, l_tgt, 0.7)
+    state = stack_cps_state(state, tx)
+    step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
+                                       confidence_threshold=0.7)
+    return SimpleNamespace(
+        model=model, tx=tx, dice=dice, step=step,
+        fresh=lambda: jax.tree_util.tree_map(jnp.copy, state))
+
+
+def _batch(seed, batch=4, hw=32):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.uniform(size=(batch, hw, hw, 3)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 3, size=(batch, hw, hw)).astype(np.int32)),
+            jnp.asarray(rng.uniform(size=(batch, hw, hw, 3)).astype(np.float32)))
 
 
 def test_mesh_axes():
@@ -45,42 +98,13 @@ def test_data_parallel_step_matches_single_device():
     assert np.allclose(np.asarray(g_single), np.asarray(g_sharded), atol=1e-5)
 
 
-def test_stacked_cps_step_multi_device_matches_single():
+def test_stacked_cps_step_multi_device_matches_single(flagship):
     """VERDICT #3: the PRODUCTION (stacked) flagship CPS step on the
     8-device mesh — batch over 'data', model pair over 'model' — must
     reproduce single-device loss and updated params within fp tolerance
     (GSPMD preserves semantics; only reduction orders differ)."""
-    from vq_seg_tpu.losses import make_loss
-    from vq_seg_tpu.models.networks import make_model
-    from vq_seg_tpu.parallel import batch_sharding, make_mesh, replicated
-    from vq_seg_tpu.training.cps import (
-        cps_init_phase,
-        create_cps_state,
-        make_cps_train_step_stacked,
-        stack_cps_state,
-    )
-
-    model = make_model({"name": "vqreptunet1x1v2", "params": {
-        "encoder_name": "resnet18", "num_classes": 3,
-        "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4], "distance": "euclidean",
-                   "kmeans_init": True},
-        "margin": 0.5, "scale": 30.0,
-    }})
-    tx = optax.adam(1e-3)
-    dice = make_loss("dice_loss", 3, ignore_index=255)
-    rng = np.random.default_rng(0)
-    l_img = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
-    l_tgt = jnp.asarray(rng.integers(0, 3, size=(4, 32, 32)).astype(np.int32))
-    ul_img = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
-
-    state = create_cps_state(model, tx, (l_img, l_tgt, 0.7))
-    state = cps_init_phase(model, state, l_img, l_tgt, 0.7)
-    state = stack_cps_state(state, tx)
-    fresh = lambda: jax.tree_util.tree_map(jnp.copy, state)  # noqa: E731
-    step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
-                                       confidence_threshold=0.7)
-
-    single, m_single, _, _ = step(fresh(), l_img, l_tgt, ul_img)
+    l_img, l_tgt, ul_img = _batch(0)
+    single, m_single, _, _ = flagship.step(flagship.fresh(), l_img, l_tgt, ul_img)
 
     # production DP layout: params replicated, batch over the data axis.
     # (Sharding the stacked pair axis over the 'model' axis trips an XLA
@@ -89,14 +113,14 @@ def test_stacked_cps_step_multi_device_matches_single():
     mesh = make_mesh(n_data=4, n_model=2)
     rep = replicated(mesh)
     with mesh:
-        st = fresh()
+        st = flagship.fresh()
         vars_sh = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep),
                                          st.variables_1)
         st = st.replace(variables_1=vars_sh,
-                        opt_state_1=jax.jit(tx.init)(vars_sh["params"]),
+                        opt_state_1=jax.jit(flagship.tx.init)(vars_sh["params"]),
                         step=jax.device_put(st.step, rep))
         bsh = batch_sharding(mesh)
-        sharded, m_sharded, _, _ = step(
+        sharded, m_sharded, _, _ = flagship.step(
             st, jax.device_put(l_img, bsh), jax.device_put(l_tgt, bsh),
             jax.device_put(ul_img, bsh))
 
@@ -113,50 +137,26 @@ def test_stacked_cps_step_multi_device_matches_single():
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-3)
 
 
-def test_pairsharded_cps_step_matches_stacked():
+def test_pairsharded_cps_step_matches_stacked(flagship):
     """VERDICT r2 #4: the shard_map pair-sharded production step (each CPS
     branch on its own model-axis device group, ppermute swaps, data as a
     GSPMD auto axis) reproduces the stacked step's metrics and updated
     params on the 8-device mesh."""
-    from vq_seg_tpu.losses import make_loss
-    from vq_seg_tpu.models.networks import make_model
-    from vq_seg_tpu.parallel import batch_sharding, make_mesh
     from vq_seg_tpu.training.cps import (
-        cps_init_phase,
-        create_cps_state,
         make_cps_train_step_pairsharded,
-        make_cps_train_step_stacked,
         shard_pair_state,
-        stack_cps_state,
     )
 
-    model = make_model({"name": "vqreptunet1x1v2", "params": {
-        "encoder_name": "resnet18", "num_classes": 3,
-        "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4], "distance": "euclidean",
-                   "kmeans_init": True},
-        "margin": 0.5, "scale": 30.0,
-    }})
-    tx = optax.adam(1e-3)
-    dice = make_loss("dice_loss", 3, ignore_index=255)
-    rng = np.random.default_rng(1)
-    l_img = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
-    l_tgt = jnp.asarray(rng.integers(0, 3, size=(4, 32, 32)).astype(np.int32))
-    ul_img = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
-
-    state = create_cps_state(model, tx, (l_img, l_tgt, 0.7))
-    state = cps_init_phase(model, state, l_img, l_tgt, 0.7)
-    state = stack_cps_state(state, tx)
-    fresh = lambda: jax.tree_util.tree_map(jnp.copy, state)  # noqa: E731
-
-    ref_step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
-                                           confidence_threshold=0.7)
-    single, m_single, ps_single, _ = ref_step(fresh(), l_img, l_tgt, ul_img)
+    l_img, l_tgt, ul_img = _batch(1)
+    single, m_single, ps_single, _ = flagship.step(
+        flagship.fresh(), l_img, l_tgt, ul_img)
 
     mesh = make_mesh(n_data=4, n_model=2)
-    build = make_cps_train_step_pairsharded(model, tx, dice, mesh, num_classes=3,
-                                            confidence_threshold=0.7)
+    build = make_cps_train_step_pairsharded(
+        flagship.model, flagship.tx, flagship.dice, mesh, num_classes=3,
+        confidence_threshold=0.7)
     with mesh:
-        st = shard_pair_state(fresh(), mesh)
+        st = shard_pair_state(flagship.fresh(), mesh)
         step = build(st)
         bsh = batch_sharding(mesh)
         pair, m_pair, ps_pair, _ = step(
@@ -177,59 +177,33 @@ def test_pairsharded_cps_step_matches_stacked():
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-3)
 
 
-def test_scan_steps_under_mesh():
+def test_scan_steps_under_mesh(flagship):
     """scan_steps x --data_parallel (VERDICT r2 weak #3): K pre-staged
     sharded batches stack via make_sharded_stack without leaving the mesh
     layout, and the scanned multi-step matches the single-device result."""
-    from vq_seg_tpu.losses import make_loss
-    from vq_seg_tpu.models.networks import make_model
-    from vq_seg_tpu.parallel import batch_sharding, make_mesh, replicated
-    from vq_seg_tpu.training.cps import (
-        cps_init_phase,
-        create_cps_state,
-        make_cps_multi_step,
-        make_cps_train_step_stacked,
-        make_sharded_stack,
-        stack_cps_state,
-    )
+    from vq_seg_tpu.training.cps import make_cps_multi_step, make_sharded_stack
 
-    model = make_model({"name": "vqreptunet1x1v2", "params": {
-        "encoder_name": "resnet18", "num_classes": 3,
-        "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4], "distance": "euclidean",
-                   "kmeans_init": True},
-        "margin": 0.5, "scale": 30.0,
-    }})
-    tx = optax.adam(1e-3)
-    dice = make_loss("dice_loss", 3, ignore_index=255)
-    rng = np.random.default_rng(2)
     K = 2
-    l_imgs = [jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
-              for _ in range(K)]
-    l_tgts = [jnp.asarray(rng.integers(0, 3, size=(4, 32, 32)).astype(np.int32))
-              for _ in range(K)]
-    ul_imgs = [jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
-               for _ in range(K)]
+    batches = [_batch(10 + i) for i in range(K)]
+    l_imgs = [b[0] for b in batches]
+    l_tgts = [b[1] for b in batches]
+    ul_imgs = [b[2] for b in batches]
 
-    state = create_cps_state(model, tx, (l_imgs[0], l_tgts[0], 0.7))
-    state = cps_init_phase(model, state, l_imgs[0], l_tgts[0], 0.7)
-    state = stack_cps_state(state, tx)
-    fresh = lambda: jax.tree_util.tree_map(jnp.copy, state)  # noqa: E731
-    step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
-                                       confidence_threshold=0.7)
-    multi = make_cps_multi_step(step, K)
+    multi = make_cps_multi_step(flagship.step, K)
 
     plain_stack = make_sharded_stack(None)
     single, m_single, _, _ = multi(
-        fresh(), plain_stack(*l_imgs), plain_stack(*l_tgts), plain_stack(*ul_imgs))
+        flagship.fresh(), plain_stack(*l_imgs), plain_stack(*l_tgts),
+        plain_stack(*ul_imgs))
 
     mesh = make_mesh(n_data=4, n_model=2)
     with mesh:
         rep = replicated(mesh)
-        st = fresh()
+        st = flagship.fresh()
         st = st.replace(
             variables_1=jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, rep), st.variables_1),
-            opt_state_1=jax.jit(tx.init)(
+            opt_state_1=jax.jit(flagship.tx.init)(
                 jax.tree_util.tree_map(lambda a: jax.device_put(a, rep),
                                        st.variables_1)["params"]),
             step=jax.device_put(st.step, rep))
@@ -250,48 +224,15 @@ def test_scan_steps_under_mesh():
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=6e-3)
 
 
-def test_zero_sharded_optimizer_matches_replicated():
+def test_zero_sharded_optimizer_matches_replicated(flagship):
     """ZeRO-1 (SURVEY §2.9): Adam moments sharded over the data axis via
     parallel/zero.py must (a) reproduce the replicated-moment step exactly,
     (b) actually cut per-chip optimizer bytes, and (c) stay sharded across
     donated steps (GSPMD layout propagation)."""
-    from vq_seg_tpu.losses import make_loss
-    from vq_seg_tpu.models.networks import make_model
-    from vq_seg_tpu.parallel import (
-        batch_sharding,
-        make_mesh,
-        opt_bytes_per_chip,
-        replicated,
-        shard_opt_state,
-    )
-    from vq_seg_tpu.training.cps import (
-        cps_init_phase,
-        create_cps_state,
-        make_cps_train_step_stacked,
-        stack_cps_state,
-    )
+    from vq_seg_tpu.parallel import opt_bytes_per_chip, shard_opt_state
 
-    model = make_model({"name": "vqreptunet1x1v2", "params": {
-        "encoder_name": "resnet18", "num_classes": 3,
-        "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4], "distance": "euclidean",
-                   "kmeans_init": True},
-        "margin": 0.5, "scale": 30.0,
-    }})
-    tx = optax.adam(1e-3)
-    dice = make_loss("dice_loss", 3, ignore_index=255)
-    rng = np.random.default_rng(3)
-    l_img = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
-    l_tgt = jnp.asarray(rng.integers(0, 3, size=(4, 32, 32)).astype(np.int32))
-    ul_img = jnp.asarray(rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
-
-    state = create_cps_state(model, tx, (l_img, l_tgt, 0.7))
-    state = cps_init_phase(model, state, l_img, l_tgt, 0.7)
-    state = stack_cps_state(state, tx)
-    fresh = lambda: jax.tree_util.tree_map(jnp.copy, state)  # noqa: E731
-    step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
-                                       confidence_threshold=0.7)
-
-    single, m_single, _, _ = step(fresh(), l_img, l_tgt, ul_img)
+    l_img, l_tgt, ul_img = _batch(3)
+    single, m_single, _, _ = flagship.step(flagship.fresh(), l_img, l_tgt, ul_img)
 
     # production mesh shape: --zero composes with --data_parallel, which
     # builds n_model=1 (scripts/train.py:76).  A 4x2 mesh with an idle model
@@ -302,10 +243,10 @@ def test_zero_sharded_optimizer_matches_replicated():
     mesh = make_mesh(n_data=4, n_model=1)
     rep = replicated(mesh)
     with mesh:
-        st = fresh()
+        st = flagship.fresh()
         vars_sh = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep),
                                          st.variables_1)
-        opt_rep = jax.jit(tx.init)(vars_sh["params"])
+        opt_rep = jax.jit(flagship.tx.init)(vars_sh["params"])
         rep_bytes = opt_bytes_per_chip(opt_rep)
         opt_zero = shard_opt_state(opt_rep, mesh)
         zero_bytes = opt_bytes_per_chip(opt_zero)
@@ -315,7 +256,7 @@ def test_zero_sharded_optimizer_matches_replicated():
         st = st.replace(variables_1=vars_sh, opt_state_1=opt_zero,
                         step=jax.device_put(st.step, rep))
         bsh = batch_sharding(mesh)
-        sharded, m_sharded, _, _ = step(
+        sharded, m_sharded, _, _ = flagship.step(
             st, jax.device_put(l_img, bsh), jax.device_put(l_tgt, bsh),
             jax.device_put(ul_img, bsh))
         # the donated step keeps the ZeRO layout (no silent re-replication)
