@@ -21,4 +21,12 @@ __version__ = "0.1.0"
 
 from vq_seg_tpu.config import Config, load_config
 
-__all__ = ["Config", "load_config", "__version__"]
+__all__ = ["Config", "load_config", "Predictor", "__version__"]
+
+
+def __getattr__(name):
+    # lazy: serving pulls in model registries; keep bare config imports light
+    if name == "Predictor":
+        from vq_seg_tpu.serving import Predictor
+        return Predictor
+    raise AttributeError(name)
