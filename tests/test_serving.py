@@ -100,6 +100,28 @@ def test_bf16_profile_close_to_f32(setup):
     assert agreement >= 0.8, agreement
 
 
+def test_mesh_sharded_predictor_matches_single(setup):
+    """Multi-chip serving: the batch shards over the mesh's data axis and
+    weights replicate; eval has no cross-sample coupling, so the sharded
+    labels equal the single-device labels exactly."""
+    from vq_seg_tpu.parallel import make_mesh
+
+    model, variables, imgs = setup
+    single = Predictor(model, variables, input_hw=(HW, HW), batch_size=8,
+                       half=False)
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = Predictor(model, variables, input_hw=(HW, HW), batch_size=8,
+                        half=False, mesh=mesh)
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, size=(8, HW, HW, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(sharded(big), single(big))
+    # partial final batch still pads to the global batch and unpads
+    np.testing.assert_array_equal(sharded(big[:5]), single(big)[:5])
+    with pytest.raises(ValueError):
+        Predictor(model, variables, input_hw=(HW, HW), batch_size=6,
+                  half=False, mesh=mesh)
+
+
 def test_from_checkpoint_roundtrip(setup, tmp_path):
     model, variables, imgs = setup
     from vq_seg_tpu.config import Config

@@ -67,18 +67,37 @@ class Predictor:
                   (test_detailviz.py:107-145 resizes the score map to the
                   native mask size).  None = argmax at model resolution.
     half:         bf16 weights + bf16 compute policy (default True).
+    mesh:         optional :class:`jax.sharding.Mesh` — the serving batch is
+                  sharded over its ``data`` axis and the weights replicated,
+                  so one predictor drives every chip of a pod slice
+                  (``batch_size`` is the GLOBAL batch and must divide by the
+                  data-axis size).  Eval has no cross-sample coupling, so
+                  sharded output == single-chip output exactly.
     """
 
     def __init__(self, model, variables, *, input_hw: Tuple[int, int],
                  batch_size: int = 1, output_hw: Optional[Tuple[int, int]] = None,
-                 half: bool = True):
+                 half: bool = True, mesh=None):
         self.batch_size = int(batch_size)
         self.input_hw = tuple(input_hw)
         self.output_hw = tuple(output_hw) if output_hw is not None else None
+        self.mesh = mesh
 
         if half:
             variables = _cast_params_bf16(variables)
-        self._vars = jax.device_put(variables)
+        if mesh is not None:
+            from .parallel import batch_sharding, replicated
+            n_data = mesh.shape["data"]
+            if self.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must divide by the mesh "
+                    f"data axis ({n_data})")
+            self._in_sharding = batch_sharding(mesh)
+            variables = jax.device_put(variables, replicated(mesh))
+        else:
+            self._in_sharding = None
+            variables = jax.device_put(variables)
+        self._vars = variables
 
         out_hw = self.output_hw
 
@@ -92,7 +111,8 @@ class Predictor:
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
         img_spec = jax.ShapeDtypeStruct(
-            (self.batch_size, *self.input_hw, 3), jnp.uint8)
+            (self.batch_size, *self.input_hw, 3), jnp.uint8,
+            sharding=self._in_sharding)
         # trace under the bf16 policy so conv/BN compute in bf16 (the same
         # trace-time global the trainers use — models/layers.py)
         with compute_dtype(jnp.bfloat16 if half else None):
@@ -125,7 +145,9 @@ class Predictor:
         if n < self.batch_size:  # pad the final partial batch
             pad = np.zeros((self.batch_size - n, *imgs.shape[1:]), imgs.dtype)
             imgs = np.concatenate([imgs, pad], axis=0)
-        return self._fn(self._vars, jnp.asarray(imgs, jnp.uint8)), n
+        dev = (jax.device_put(imgs.astype(np.uint8), self._in_sharding)
+               if self._in_sharding is not None else jnp.asarray(imgs, jnp.uint8))
+        return self._fn(self._vars, dev), n
 
     @staticmethod
     def _fetch(handle) -> np.ndarray:
