@@ -66,6 +66,24 @@ def bench_latency(pred, hw, iters=30):
     return float(np.percentile(t, 50)), float(np.percentile(t, 90))
 
 
+def bench_device_only(pred, hw, iters=30):
+    """Forward latency with the input already device-resident and no label
+    fetch — the compute term a direct-attached chip sees (the end-to-end
+    numbers add the axon tunnel's host<->device wire time on top)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, size=(pred.batch_size, hw, hw, 3)).astype(np.uint8)
+    dev = jax.device_put(imgs)
+    pred._fn(pred._vars, dev).block_until_ready()  # warm
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        pred._fn(pred._vars, dev).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return float(np.percentile(np.asarray(times) * 1e3, 50))
+
+
 def bench_stream(pred, hw, iters=30):
     rng = np.random.default_rng(2)
     batches = [rng.integers(0, 256, size=(pred.batch_size, hw, hw, 3)).astype(np.uint8)
@@ -88,9 +106,11 @@ def main():
         p50, p90 = bench_latency(p1, hw)
         out[key] = {"build_s": round(build_s, 1),
                     "batch1_p50_ms": round(p50, 1),
-                    "batch1_p90_ms": round(p90, 1)}
+                    "batch1_p90_ms": round(p90, 1),
+                    "batch1_device_ms": round(bench_device_only(p1, hw), 2)}
         del p1
         p8, _ = build(8, hw, half)
+        out[key]["batch8_device_ms"] = round(bench_device_only(p8, hw), 2)
         out[key]["batch8_stream_img_per_s"] = round(bench_stream(p8, hw), 2)
         del p8
     print(json.dumps(out))
