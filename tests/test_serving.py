@@ -122,6 +122,27 @@ def test_mesh_sharded_predictor_matches_single(setup):
                   half=False, mesh=mesh)
 
 
+def test_spatial_sharded_predictor_matches_single(setup):
+    """Batch-1 latency mode: image rows shard over the data axis and GSPMD
+    inserts the conv halo exchanges; labels must equal the single-device
+    predictor exactly."""
+    from vq_seg_tpu.parallel import make_mesh
+
+    model, variables, imgs = setup
+    single = Predictor(model, variables, input_hw=(HW, HW), batch_size=1,
+                       half=False)
+    mesh = make_mesh(n_data=4, n_model=2)
+    spatial = Predictor(model, variables, input_hw=(HW, HW), batch_size=1,
+                        half=False, mesh=mesh, spatial=True)
+    np.testing.assert_array_equal(spatial(imgs[:1]), single(imgs[:1]))
+    with pytest.raises(ValueError):  # H=32 not divisible by 5... use bad mesh
+        Predictor(model, variables, input_hw=(HW + 1, HW), batch_size=1,
+                  half=False, mesh=mesh, spatial=True)
+    with pytest.raises(ValueError):
+        Predictor(model, variables, input_hw=(HW, HW), batch_size=1,
+                  half=False, spatial=True)
+
+
 def test_from_checkpoint_roundtrip(setup, tmp_path):
     model, variables, imgs = setup
     from vq_seg_tpu.config import Config

@@ -73,26 +73,43 @@ class Predictor:
                   (``batch_size`` is the GLOBAL batch and must divide by the
                   data-axis size).  Eval has no cross-sample coupling, so
                   sharded output == single-chip output exactly.
+    spatial:      with ``mesh``, shard image ROWS (H) over the data axis
+                  instead of the batch — the TPU-native way to put every
+                  chip on ONE image when the workload is batch-1 latency,
+                  not throughput.  GSPMD's spatial partitioner inserts the
+                  conv halo exchanges over ICI; no model changes.  H must
+                  divide by the data-axis size.
     """
 
     def __init__(self, model, variables, *, input_hw: Tuple[int, int],
                  batch_size: int = 1, output_hw: Optional[Tuple[int, int]] = None,
-                 half: bool = True, mesh=None):
+                 half: bool = True, mesh=None, spatial: bool = False):
         self.batch_size = int(batch_size)
         self.input_hw = tuple(input_hw)
         self.output_hw = tuple(output_hw) if output_hw is not None else None
         self.mesh = mesh
 
+        if spatial and mesh is None:
+            raise ValueError("spatial=True requires a mesh")
         if half:
             variables = _cast_params_bf16(variables)
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from .parallel import batch_sharding, replicated
             n_data = mesh.shape["data"]
-            if self.batch_size % n_data:
-                raise ValueError(
-                    f"batch_size {self.batch_size} must divide by the mesh "
-                    f"data axis ({n_data})")
-            self._in_sharding = batch_sharding(mesh)
+            if spatial:
+                if self.input_hw[0] % n_data:
+                    raise ValueError(
+                        f"spatial serving: H {self.input_hw[0]} must divide "
+                        f"by the mesh data axis ({n_data})")
+                self._in_sharding = NamedSharding(mesh, P(None, "data"))
+            else:
+                if self.batch_size % n_data:
+                    raise ValueError(
+                        f"batch_size {self.batch_size} must divide by the "
+                        f"mesh data axis ({n_data})")
+                self._in_sharding = batch_sharding(mesh)
             variables = jax.device_put(variables, replicated(mesh))
         else:
             self._in_sharding = None
