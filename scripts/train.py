@@ -31,7 +31,7 @@ from vq_seg_tpu.config import get_config_from_json  # noqa: E402
 
 
 def resolve_mesh(cfg, data_parallel=False, per_device_batch=False,
-                 pair_parallel=False, devices=None):
+                 pair_parallel=False, spatial=1, devices=None):
     """Build the training mesh from the CLI parallelism flags.
 
     Returns None when no parallelism was requested.  With
@@ -40,8 +40,10 @@ def resolve_mesh(cfg, data_parallel=False, per_device_batch=False,
     global batch; otherwise the data axis is clamped to
     gcd(batch, devices) so the reference's batch-4 configs run (with idle
     chips + a warning) instead of crashing on jax's divisibility rule.
+    ``spatial`` > 1 additionally shards image ROWS over a ``space`` mesh
+    axis (GSPMD halo-exchange convs) — chips = data x model x space.
     """
-    if not (data_parallel or pair_parallel):
+    if not (data_parallel or pair_parallel or spatial > 1):
         return None
     import math
 
@@ -52,7 +54,15 @@ def resolve_mesh(cfg, data_parallel=False, per_device_batch=False,
     devices = list(devices if devices is not None else jax.devices())
     n_dev = len(devices)
     n_model = 2 if pair_parallel else 1
-    avail = n_dev // n_model
+    n_space = max(1, int(spatial))
+    if n_space > 1:
+        resize = cfg.resize if isinstance(cfg.resize, int) else cfg.resize[0]
+        if resize % n_space:
+            raise SystemExit(f"--spatial {n_space} must divide resize {resize}")
+        if n_space * n_model > n_dev:
+            raise SystemExit(f"--spatial {n_space} x model {n_model} needs "
+                             f"more than the {n_dev} visible devices")
+    avail = n_dev // (n_model * n_space)
     if pair_parallel and avail < 1:
         raise SystemExit("--pair_parallel needs >= 2 devices")
     if not data_parallel:
@@ -74,8 +84,8 @@ def resolve_mesh(cfg, data_parallel=False, per_device_batch=False,
                   f"over {n_data} of {avail} devices (data axis must "
                   f"divide the batch; use --per_device_batch or raise "
                   f"batch_size to use all chips)")
-    return make_mesh(n_data=n_data, n_model=n_model,
-                     devices=devices[:n_data * n_model])
+    return make_mesh(n_data=n_data, n_model=n_model, n_space=n_space,
+                     devices=devices[:n_data * n_model * n_space])
 
 
 def main():
@@ -103,6 +113,13 @@ def main():
                         help="cps mode: place each CPS model on its own "
                              "device group (model axis of 2, shard_map pair "
                              "step); composes with --data_parallel")
+    parser.add_argument("--spatial", type=int, default=1,
+                        help="shard image ROWS over N devices (GSPMD "
+                             "halo-exchange convs) — use chips beyond what "
+                             "the batch can fill, or fit a resize too large "
+                             "for one chip's HBM; composes with "
+                             "--data_parallel / --pair_parallel "
+                             "(chips = data x model x space)")
     opt = parser.parse_args()
     cfg = get_config_from_json(opt.config_path)
     if opt.zero:
@@ -114,7 +131,8 @@ def main():
 
     mesh = resolve_mesh(cfg, data_parallel=opt.data_parallel,
                         per_device_batch=opt.per_device_batch,
-                        pair_parallel=opt.pair_parallel)
+                        pair_parallel=opt.pair_parallel,
+                        spatial=opt.spatial)
 
     if opt.mode == "cps":
         from vq_seg_tpu.training import cps

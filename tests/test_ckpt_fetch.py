@@ -144,3 +144,22 @@ def test_prefetched_and_light_snapshots(tmp_path):
     # resume from last.ckpt unaffected
     _m2, ep, bi, _o1, _o2 = ck.load_ckpoints(last, istrain=True)
     assert int(ep) == 3 and int(bi) == 1
+
+
+def test_latest_ckpt_auto_resume(tmp_path):
+    """cfg.train.resume="auto" target resolution: newest run dir that has a
+    ckpoints/last.ckpt wins; runs without one (including the fresh run dir
+    the trainer just created) are skipped; empty/missing save_dir -> None."""
+    assert ck.latest_ckpt(str(tmp_path / "nope")) is None
+    assert ck.latest_ckpt(str(tmp_path)) is None
+
+    for i, age in [(0, 100), (1, 50)]:
+        d = tmp_path / f"proj_hybrid_{i}" / "ckpoints" / "last.ckpt"
+        d.mkdir(parents=True)
+        t = 1_700_000_000 - age
+        os.utime(d, (t, t))
+    # a fresh run dir with no checkpoint yet must not shadow older runs
+    (tmp_path / "proj_hybrid_2" / "ckpoints").mkdir(parents=True)
+
+    got = ck.latest_ckpt(str(tmp_path))
+    assert got == str(tmp_path / "proj_hybrid_1" / "ckpoints" / "last.ckpt")

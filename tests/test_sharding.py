@@ -64,7 +64,7 @@ def _batch(seed, batch=4, hw=32):
 
 def test_mesh_axes():
     mesh = make_mesh()
-    assert mesh.axis_names == ("data", "model")
+    assert mesh.axis_names == ("data", "model", "space")
     assert mesh.devices.size == 8
 
 
@@ -132,6 +132,47 @@ def test_stacked_cps_step_multi_device_matches_single(flagship):
     # near-zero gradients to +-lr, so a reduction-order sign flip on a ~1e-12
     # gradient yields a +-2*lr param delta — measured on 0.0014% of elements.
     # Anything beyond ~3*lr would indicate a real semantic divergence.
+    for pa, pb in zip(jax.tree_util.tree_leaves(single.variables_1["params"]),
+                      jax.tree_util.tree_leaves(sharded.variables_1["params"])):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-3)
+
+
+def test_spatial_sharded_step_matches_single(flagship):
+    """Spatial partitioning (SURVEY §2.9's documented extension): image ROWS
+    shard over the ``space`` mesh axis and GSPMD inserts the conv halo
+    exchanges — the production stacked step must reproduce the single-device
+    result with batch over 'data' x rows over 'space'.  64² inputs so every
+    encoder stage (down to the 2-row deepest map) crosses shard boundaries,
+    exercising halos through reflect-pad convs, pool, BN, VQ, bilinear
+    decoder resizes, and the flattening losses."""
+    rng = np.random.default_rng(7)
+    hw = 64
+    l_img = jnp.asarray(rng.uniform(size=(4, hw, hw, 3)).astype(np.float32))
+    l_tgt = jnp.asarray(rng.integers(0, 3, size=(4, hw, hw)).astype(np.int32))
+    ul_img = jnp.asarray(rng.uniform(size=(4, hw, hw, 3)).astype(np.float32))
+
+    single, m_single, _, _ = flagship.step(flagship.fresh(), l_img, l_tgt, ul_img)
+
+    mesh = make_mesh(n_data=2, n_model=1, n_space=2,
+                     devices=jax.devices()[:4])
+    rep = replicated(mesh)
+    with mesh:
+        st = flagship.fresh()
+        vars_sh = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep),
+                                         st.variables_1)
+        st = st.replace(variables_1=vars_sh,
+                        opt_state_1=jax.jit(flagship.tx.init)(vars_sh["params"]),
+                        step=jax.device_put(st.step, rep))
+        bsh = batch_sharding(mesh)  # P("data", "space") — rows sharded
+        xs = jax.device_put(l_img, bsh)
+        assert len(xs.sharding.device_set) == 4
+        sharded, m_sharded, _, _ = flagship.step(
+            st, xs, jax.device_put(l_tgt, bsh), jax.device_put(ul_img, bsh))
+
+    for k in ("loss", "cps_loss", "sup_loss_1", "commitment_loss",
+              "prototype_loss", "miou"):
+        a, b = float(m_single[k]), float(m_sharded[k])
+        assert abs(a - b) <= 2e-3 * max(abs(a), 1e-3), (k, a, b)
     for pa, pb in zip(jax.tree_util.tree_leaves(single.variables_1["params"]),
                       jax.tree_util.tree_leaves(sharded.variables_1["params"])):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-3)
@@ -322,18 +363,27 @@ def test_resolve_mesh_cli_semantics():
     # per-device batch: global = batch x n_data, every chip used
     cfg = Config({"train": {"batch_size": 2}})
     mesh = resolve_mesh(cfg, data_parallel=True, per_device_batch=True)
-    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    assert dict(mesh.shape) == {"data": 8, "model": 1, "space": 1}
     assert cfg.train.batch_size == 16
 
     # global-batch semantics: data axis clamps to gcd(batch, devices)
     cfg = Config({"train": {"batch_size": 4}})
     mesh = resolve_mesh(cfg, data_parallel=True)
-    assert dict(mesh.shape) == {"data": 4, "model": 1}
+    assert dict(mesh.shape) == {"data": 4, "model": 1, "space": 1}
     assert cfg.train.batch_size == 4  # untouched
 
     # pair parallelism halves the data axis
     cfg = Config({"train": {"batch_size": 4}})
     mesh = resolve_mesh(cfg, data_parallel=True, per_device_batch=True,
                         pair_parallel=True)
-    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    assert dict(mesh.shape) == {"data": 4, "model": 2, "space": 1}
     assert cfg.train.batch_size == 16
+
+    # spatial sharding: rows over the space axis, composing with data
+    cfg = Config({"resize": 64, "train": {"batch_size": 2}})
+    mesh = resolve_mesh(cfg, data_parallel=True, spatial=4)
+    assert dict(mesh.shape) == {"data": 2, "model": 1, "space": 4}
+    # H must divide the space axis
+    cfg = Config({"resize": 63, "train": {"batch_size": 2}})
+    with pytest.raises(SystemExit):
+        resolve_mesh(cfg, data_parallel=True, spatial=4)

@@ -210,6 +210,24 @@ def load_full(weights_path: str):
     return _load_tree(weights_path)
 
 
+def latest_ckpt(save_dir: str):
+    """Newest run's full-contract ``last.ckpt`` under ``save_dir`` — the
+    auto-resume target (``cfg.train.resume: "auto"``): each trainer
+    invocation makes a fresh ``{project}_hybrid_N`` run dir, so elastic
+    recovery means scanning the *previous* runs for the most recent
+    last.ckpt.  Returns None when there is nothing to resume from."""
+    if not save_dir or not os.path.isdir(save_dir):
+        return None
+    best, best_t = None, -1.0
+    for run in os.listdir(save_dir):
+        p = os.path.join(save_dir, run, "ckpoints", "last.ckpt")
+        if os.path.exists(p):
+            t = os.path.getmtime(p)
+            if t > best_t:
+                best, best_t = p, t
+    return best
+
+
 def save_vqvae(variables, epoch, ckpoints_dir: str):
     """Split a VQ-VAE's variables into encoder/codebook/decoder subtrees
     (reference saves three .pth files; here three orbax dirs)."""
