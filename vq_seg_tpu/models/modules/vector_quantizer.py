@@ -48,18 +48,31 @@ class VQIdentity(nn.Module):
 
 
 class VectorQuantizer(nn.Module):
-    """One codebook over the channel dim of an NHWC feature map."""
+    """One codebook over the channel dim of an NHWC feature map.
+
+    ``ema=True`` (``vq_cfg.ema`` in configs, OFF by default for parity)
+    activates the standard VQ-VAE EMA codebook update using ``decay`` — the
+    knob the reference constructor stores but never uses (vq_img.py:199):
+    per train forward, cluster sizes and per-code feature sums are blended
+    with factor ``decay`` and the codebook becomes the Laplace-smoothed
+    running mean (van den Oord et al., appendix A.1).  Requires the train
+    step to apply with ``mutable=["batch_stats", "codebook"]`` (the cps and
+    supervised/selfsup steps do); assignment/STE/commitment in the same
+    forward still use the pre-update codebook.  Under GSPMD the counts and
+    sums reduce over the sharded batch/space axes automatically, so every
+    device computes the same update and the codebook stays replicated."""
 
     dim: int
     num_embeddings: int
     embedding_dim: Optional[int] = None
-    decay: float = 0.8  # parity: stored but unused (vq_img.py:199 — no EMA impl)
+    decay: float = 0.8  # parity default: stored-but-unused unless ema=True
     eps: float = 1e-5
     kmeans_init: bool = False
     kmeans_iters: int = 10
     distance: str = "euclidean"
     commitment_weight: float = 1.0
     num_codebook: int = 1
+    ema: bool = False
 
     @property
     def _edim(self) -> int:
@@ -79,6 +92,14 @@ class VectorQuantizer(nn.Module):
             return jax.random.uniform(key, (k, ed), jnp.float32, -1.0 / k, 1.0 / k)
 
         codebook = self.variable("codebook", "embedding", _default_init)
+        cluster_size = embed_avg = None
+        if self.ema:
+            # EMA state rides in the codebook collection so checkpoints and
+            # the init phase carry it with the embedding
+            cluster_size = self.variable(
+                "codebook", "cluster_size", lambda: jnp.ones((k,), jnp.float32))
+            embed_avg = self.variable(
+                "codebook", "embed_avg", lambda: codebook.value)
 
         x = x.astype(jnp.float32)
         b, h, w, c = x.shape
@@ -95,6 +116,10 @@ class VectorQuantizer(nn.Module):
                 use_cosine_sim=(self.distance == "cosine"),
             )
             codebook.value = means
+            if self.ema:
+                # running mean == the k-means mean at unit mass
+                cluster_size.value = jnp.ones((k,), jnp.float32)
+                embed_avg.value = means
 
         cb = codebook.value
         if self.distance == "cosine":
@@ -107,6 +132,24 @@ class VectorQuantizer(nn.Module):
 
         idx, quantized, counts = vq_assign(feats, cb, metric=self.distance)
         usage = code_usage_percent(counts)
+
+        if (train and self.ema and not init_codebook
+                and self.is_mutable_collection("codebook")):
+            # assignment above used the pre-update codebook; the EMA update
+            # takes effect from the next forward (standard VQ-VAE ordering).
+            # stop_gradient: the statistics must not leak into the loss AD.
+            sg_feats = jax.lax.stop_gradient(feats)
+            sums = jax.ops.segment_sum(sg_feats, idx, num_segments=k)
+            d = self.decay
+            new_cs = d * cluster_size.value + (1.0 - d) * counts.astype(jnp.float32)
+            new_ea = d * embed_avg.value + (1.0 - d) * sums
+            n = jnp.sum(new_cs)
+            smoothed = (new_cs + self.eps) / (n + k * self.eps) * n
+            new_cb = new_ea / smoothed[:, None]
+            if self.distance == "cosine":
+                new_cb = l2norm(new_cb)
+            cluster_size.value, embed_avg.value = new_cs, new_ea
+            codebook.value = new_cb
 
         quantized = quantized.reshape(b, h, w, ed)
         loss = jnp.float32(0.0)

@@ -146,7 +146,10 @@ def make_cps_train_step(model, tx, dice_loss, *, num_classes: int,
     th = confidence_threshold
 
     def _apply_train(variables, *args):
-        return model.apply(variables, *args, train=True, mutable=["batch_stats"])
+        # "codebook" mutable for the opt-in EMA update (vq_cfg.ema) — a
+        # bitwise no-op when EMA is off
+        return model.apply(variables, *args, train=True,
+                           mutable=["batch_stats", "codebook"])
 
     _apply_train_remat = jax.checkpoint(_apply_train)
     _sup_apply = _apply_train_remat if remat is True else _apply_train
@@ -154,7 +157,7 @@ def make_cps_train_step(model, tx, dice_loss, *, num_classes: int,
 
     def forward_train(variables, *args, _apply=None):
         out, mut = (_apply or _sup_apply)(variables, *args)
-        return out, {**variables, "batch_stats": mut["batch_stats"]}
+        return out, {**variables, **mut}
 
     def loss_fn(p1, p2, state, l_img, l_target, ul_img):
         v1 = {**state.variables_1, "params": p1}
@@ -202,7 +205,8 @@ def make_cps_train_step(model, tx, dice_loss, *, num_classes: int,
         conf = confusion_matrix(pred_sup_1, l_target, num_classes=num_classes)
         step_miou, iou_list = miou(conf)
         aux = dict(
-            batch_stats_1=v1["batch_stats"], batch_stats_2=v2["batch_stats"],
+            mutated_1={ck: v1[ck] for ck in ("batch_stats", "codebook") if ck in v1},
+            mutated_2={ck: v2[ck] for ck in ("batch_stats", "codebook") if ck in v2},
             metrics=dict(loss=loss, cps_loss=cps_loss, sup_loss_1=sup_loss_1,
                          sup_loss_2=sup_loss_2, commitment_loss=commitment,
                          prototype_loss=prototype, miou=step_miou,
@@ -220,9 +224,9 @@ def make_cps_train_step(model, tx, dice_loss, *, num_classes: int,
         up2, os2 = tx.update(g2, state.opt_state_2, p2)
         new_state = state.replace(
             variables_1={**state.variables_1, "params": optax.apply_updates(p1, up1),
-                         "batch_stats": aux["batch_stats_1"]},
+                         **aux["mutated_1"]},
             variables_2={**state.variables_2, "params": optax.apply_updates(p2, up2),
-                         "batch_stats": aux["batch_stats_2"]},
+                         **aux["mutated_2"]},
             opt_state_1=os1, opt_state_2=os2, step=state.step + 1,
         )
         return new_state, aux["metrics"], aux["pred_sup_1"], aux["pred_ul_1"]
@@ -301,7 +305,10 @@ def make_cps_train_step_stacked(model, tx, dice_loss, *, num_classes: int,
     th = confidence_threshold
 
     def _apply_train(variables, img, gt, thv):
-        return model.apply(variables, img, gt, thv, train=True, mutable=["batch_stats"])
+        # "codebook" mutable for the opt-in EMA update (vq_cfg.ema) — a
+        # bitwise no-op when EMA is off
+        return model.apply(variables, img, gt, thv, train=True,
+                           mutable=["batch_stats", "codebook"])
 
     if remat:
         _apply_train = jax.checkpoint(_apply_train)
@@ -318,7 +325,7 @@ def make_cps_train_step_stacked(model, tx, dice_loss, *, num_classes: int,
         swapped = pseudo_scores[::-1]  # model k trains on the OTHER's scores
 
         (pred_sup, c_l, u_l, pl_l), mut = vfwd_sup(v, l_img, l_target, th)
-        v = {**v, "batch_stats": mut["batch_stats"]}
+        v = {**v, **mut}
         (pred_ul, c_ul, u_ul, pl_ul), mut = vfwd_ul(v, ul_img, swapped, th)
 
         pred = jnp.concatenate([pred_sup, pred_ul], axis=1)  # (2, 2B, H, W, C)
@@ -349,7 +356,7 @@ def make_cps_train_step_stacked(model, tx, dice_loss, *, num_classes: int,
         conf = confusion_matrix(pred_sup[0], l_target, num_classes=num_classes)
         step_miou, iou_list = miou(conf)
         aux = dict(
-            batch_stats=mut["batch_stats"],
+            mutated=mut,
             metrics=dict(loss=loss, cps_loss=cps_loss, sup_loss_1=sup_losses[0],
                          sup_loss_2=sup_losses[1], commitment_loss=commitment,
                          prototype_loss=prototype, miou=step_miou,
@@ -366,7 +373,7 @@ def make_cps_train_step_stacked(model, tx, dice_loss, *, num_classes: int,
         new_state = state.replace(
             variables_1={**state.variables_1,
                          "params": optax.apply_updates(params, updates),
-                         "batch_stats": aux["batch_stats"]},
+                         **aux["mutated"]},
             opt_state_1=opt_state, step=state.step + 1,
         )
         return new_state, aux["metrics"], aux["pred_sup_1"], aux["pred_ul_1"]
@@ -430,7 +437,10 @@ def make_cps_train_step_pairsharded(model, tx, dice_loss, mesh, *,
     perm = [(0, 1), (1, 0)]  # pair swap over the model axis
 
     def _apply_train(variables, img, gt, thv):
-        return model.apply(variables, img, gt, thv, train=True, mutable=["batch_stats"])
+        # "codebook" mutable for the opt-in EMA update (vq_cfg.ema) — a
+        # bitwise no-op when EMA is off
+        return model.apply(variables, img, gt, thv, train=True,
+                           mutable=["batch_stats", "codebook"])
 
     if remat:
         _apply_train = jax.checkpoint(_apply_train)
@@ -454,7 +464,7 @@ def make_cps_train_step_pairsharded(model, tx, dice_loss, mesh, *,
         pseudo_other = jax.lax.ppermute(pseudo_score, "model", perm)
 
         (pred_sup, c_l, u_l, pl_l), mut = vfwd_sup(v, l_img, l_target, th)
-        v = {**v, "batch_stats": mut["batch_stats"]}
+        v = {**v, **mut}
         (pred_ul, c_ul, u_ul, pl_ul), mut = vfwd_ul(v, ul_img, pseudo_other, th)
 
         pred = jnp.concatenate([pred_sup, pred_ul], axis=1)  # (1, 2B, H, W, C)
@@ -495,7 +505,7 @@ def make_cps_train_step_pairsharded(model, tx, dice_loss, mesh, *,
             prototype_loss=jax.lax.psum(proto_mine, "model"),
             miou=_select0(step_miou), iou_list=_select0(iou_list),
             code_usage=code_usage)
-        aux = dict(batch_stats=mut["batch_stats"], metrics=metrics,
+        aux = dict(mutated=mut, metrics=metrics,
                    pred_sup=pred_sup, pred_ul=pred_ul)
         return loss_mine, aux
 
@@ -506,7 +516,7 @@ def make_cps_train_step_pairsharded(model, tx, dice_loss, mesh, *,
         new_state = state.replace(
             variables_1={**state.variables_1,
                          "params": optax.apply_updates(params, updates),
-                         "batch_stats": aux["batch_stats"]},
+                         **aux["mutated"]},
             opt_state_1=opt_state, step=state.step + 1,
         )
         return new_state, aux["metrics"], aux["pred_sup"], aux["pred_ul"]
@@ -558,7 +568,10 @@ def make_cps_train_step_fused(model, tx, dice_loss, *, num_classes: int,
 
     Only the flagship (x, gt, th)-signature nets are supported (the trunk
     must accept ``return_features=True``).  Equivalence vs the stacked step
-    is pinned in tests/test_cps_training.py."""
+    is pinned in tests/test_cps_training.py.  Note: the opt-in EMA codebook
+    update (vq_cfg.ema) is NOT applied by this experimental step (codebook
+    stays non-mutable here; the module-level is_mutable_collection guard
+    makes that a silent freeze, exactly the parity default)."""
     from vq_seg_tpu.models.layers import decoder_bn_params
     from vq_seg_tpu.models.modules.prototype import ReliablePrototypeLossv2
 
@@ -715,8 +728,10 @@ def make_sharded_stack(mesh=None):
         return lambda *a: jnp.stack(a)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    spec = (P(None, "data", "space")
+            if dict(mesh.shape).get("space", 1) > 1 else P(None, "data"))
     return jax.jit(lambda *a: jnp.stack(a),
-                   out_shardings=NamedSharding(mesh, P(None, "data")))
+                   out_shardings=NamedSharding(mesh, spec))
 
 
 def make_eval_fn(model, num_classes: int):
@@ -918,9 +933,16 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
     pred_sup_1 = pred_ul_1 = None
 
     # resume (the reference's cfg.train.resume is vestigial — here it works:
-    # point it at a ckpoints/*.ckpt dir to restore both models + optimizers)
+    # point it at a ckpoints/*.ckpt dir to restore both models + optimizers,
+    # or set "auto" for elastic recovery: rerun the same command and the
+    # newest previous run's last.ckpt is picked up)
     start_epoch = 0
     resume = cfg.train.get("resume")
+    if resume == "auto":
+        from vq_seg_tpu.utils.ckpoints import latest_ckpt
+
+        resume = latest_ckpt(cfg.train.get("save_dir"))
+        print(f"auto-resume: {resume or 'no previous last.ckpt — fresh start'}")
     stacked = False
     if resume:
         from vq_seg_tpu.utils.ckpoints import load_full

@@ -25,12 +25,15 @@ from vq_seg_tpu.training.supervised import TrainState, create_state, init_phase
 def make_selfsup_train_step(model, tx):
     def loss_fn(params, state, img):
         variables = {**state.variables, "params": params}
-        (recon, commit, usage), mut = model.apply(variables, img, train=True,
-                                                  mutable=["batch_stats"])
+        # "codebook" mutable for the opt-in EMA update (vq_cfg.ema) — the
+        # natural fit here: VQ-VAE codebook pretraining with a frozen
+        # (kmeans-initted) codebook only learns the encoder around it
+        (recon, commit, usage), mut = model.apply(
+            variables, img, train=True, mutable=["batch_stats", "codebook"])
         target = img if img.shape[1:3] == recon.shape[1:3] else resize_bilinear(img, recon.shape[1:3])
         recon_loss = jnp.mean((recon - target) ** 2)
         loss = recon_loss + commit
-        aux = dict(batch_stats=mut["batch_stats"],
+        aux = dict(mutated=dict(mut),
                    metrics=dict(loss=loss, recon_loss=recon_loss, commitment_loss=commit,
                                 code_usage=jnp.mean(usage) if usage.size else jnp.float32(0.0)),
                    recon=recon)
@@ -42,7 +45,7 @@ def make_selfsup_train_step(model, tx):
         updates, opt_state = tx.update(grads, state.opt_state, state.variables["params"])
         new_state = state.replace(
             variables={**state.variables, "params": optax.apply_updates(
-                state.variables["params"], updates), "batch_stats": aux["batch_stats"]},
+                state.variables["params"], updates), **aux["mutated"]},
             opt_state=opt_state, step=state.step + 1)
         return new_state, aux["metrics"], aux["recon"]
 

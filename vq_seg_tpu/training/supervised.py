@@ -101,7 +101,7 @@ def make_sup_train_step(model, tx, dice_loss, *, num_classes: int,
         else:
             args = (img, target, extra)
         out, mut = model.apply(
-            variables, *args, train=True, mutable=["batch_stats"],
+            variables, *args, train=True, mutable=["batch_stats", "codebook"],
             # fcn32s carries fc6/fc7 dropout (reference fcn/net.py): a
             # step-folded key keeps the jitted step pure and reproducible
             rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(0), state.step)})
@@ -117,9 +117,10 @@ def make_sup_train_step(model, tx, dice_loss, *, num_classes: int,
         loss = sup + commit + proto
         conf = confusion_matrix(pred, target, num_classes=num_classes)
         m, iou_list = miou(conf)
-        # vgg19 (non-bn) nets carry no batch_stats collection at all
-        aux = dict(batch_stats=mut.get("batch_stats",
-                                       state.variables.get("batch_stats", {})),
+        # vgg19 (non-bn) nets carry no batch_stats collection at all (mut
+        # is then empty); mut also carries "codebook" when vq_cfg.ema
+        # updates it
+        aux = dict(mutated=dict(mut),
                    metrics=dict(loss=loss, sup_loss=sup, commitment_loss=commit,
                                 prototype_loss=proto, miou=m, iou_list=iou_list,
                                 code_usage=jnp.mean(usage) if usage.size else jnp.float32(0.0)),
@@ -134,7 +135,7 @@ def make_sup_train_step(model, tx, dice_loss, *, num_classes: int,
         new_params = optax.apply_updates(state.variables["params"], updates)
         new_state = state.replace(
             variables={**state.variables, "params": new_params,
-                       "batch_stats": aux["batch_stats"]},
+                       **aux["mutated"]},
             opt_state=opt_state, step=state.step + 1)
         return new_state, aux["metrics"], aux["pred"]
 
