@@ -144,6 +144,115 @@ def test_ema_cosine_keeps_codebook_normalised(distance, rng):
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
 
 
+def test_restart_requires_ema():
+    with pytest.raises(ValueError, match="restart_threshold requires ema"):
+        VectorQuantizer(dim=4, num_embeddings=8,
+                        restart_threshold=0.1).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 2, 4)))
+
+
+def test_restart_revives_dead_codes(rng):
+    """A code pinned far from the data never gets assigned; its EMA mass
+    decays below the threshold and the restart reseeds it at the batch
+    feature with the largest quantization residual."""
+    k, c, decay = 4, 8, 0.5
+    vq = VectorQuantizer(dim=c, num_embeddings=k, kmeans_init=True,
+                         ema=True, decay=decay, restart_threshold=0.3)
+    x = jnp.asarray(rng.normal(size=(2, 3, 3, c)).astype(np.float32))
+    variables = _init_train(vq, x)
+    # plant a dead code far from every feature — embedding AND its EMA
+    # average, else the EMA itself pulls the code straight back to the data
+    for name in ("embedding", "embed_avg"):
+        arr = np.asarray(variables["codebook"][name]).copy()
+        arr[0] = 100.0
+        variables["codebook"][name] = jnp.asarray(arr)
+
+    v = variables
+    revived_at = None
+    for i in range(4):  # mass 1.0 decays 0.5 -> 0.25 < 0.3 at step 2
+        (_, idx, _, _), mut = vq.apply(v, x, train=True, mutable=["codebook"])
+        if revived_at is None:
+            assert not np.any(np.asarray(idx) == 0)  # dead until revived
+        v = {**v, **mut}
+        if revived_at is None and float(
+                np.asarray(v["codebook"]["cluster_size"])[0]) > 0.9:
+            revived_at = i  # restart resets the mass to exactly 1.0
+    assert revived_at == 1, revived_at
+    new_cb = np.asarray(v["codebook"]["embedding"])
+    flat = np.asarray(x).reshape(-1, c)
+    # revived: sits near an actual batch feature (post-revival EMA steps
+    # drift it slightly), nowhere near the planted outlier at 100
+    d = np.linalg.norm(flat - new_cb[0], axis=-1)
+    assert d.min() < 0.5, d.min()
+    assert float(np.asarray(v["codebook"]["cluster_size"])[0]) >= 0.5
+    # and it is the worst-covered feature given the live codebook
+    (_, idx2, _, _) = vq.apply(v, x, train=False)
+    assert np.any(np.asarray(idx2) == 0)  # the code participates again
+
+
+def test_restart_noop_when_all_codes_alive(rng):
+    k, c = 4, 8
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, c)).astype(np.float32))
+    cbs = []
+    for th in (0.0, 1e-6):
+        vq = VectorQuantizer(dim=c, num_embeddings=k, kmeans_init=True,
+                             ema=True, decay=0.5, restart_threshold=th)
+        v = _init_train(vq, x)
+        for _ in range(3):
+            _, mut = vq.apply(v, x, train=True, mutable=["codebook"])
+            v = {**v, **mut}
+        cbs.append(np.asarray(v["codebook"]["embedding"]))
+    np.testing.assert_allclose(cbs[0], cbs[1], atol=1e-6)
+
+
+def test_ema_update_matches_under_data_sharded_batch(rng):
+    """segment_sum/bincount over a GSPMD-sharded batch must reduce over the
+    data axis: the mutated codebook from a mesh-sharded apply equals the
+    single-device one (the module docstring's replication claim, pinned)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vq_seg_tpu.parallel import make_mesh
+
+    k, c = 4, 8
+    vq = VectorQuantizer(dim=c, num_embeddings=k, kmeans_init=True,
+                         ema=True, decay=0.6, restart_threshold=0.1)
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, c)).astype(np.float32))
+    variables = _init_train(vq, x)
+
+    fn = jax.jit(lambda v, x: vq.apply(v, x, train=True, mutable=["codebook"]))
+    _, mut_single = fn(variables, x)
+
+    mesh = make_mesh(n_data=4)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    _, mut_mesh = fn(vs, xs)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        mut_single, mut_mesh)
+
+
+def test_ema_state_checkpoint_roundtrip(tmp_path, rng):
+    """cluster_size/embed_avg ride in the codebook collection: a save/load
+    through the reference-contract checkpoint restores them exactly."""
+    from vq_seg_tpu.utils.ckpoints import load_ckpoints, save_ckpoints
+
+    vq = VectorQuantizer(dim=4, num_embeddings=8, kmeans_init=True, ema=True)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+    variables = _init_train(vq, x)
+    _, mut = vq.apply(variables, x, train=True, mutable=["codebook"])
+    variables = {**variables, **mut}
+
+    path = str(tmp_path / "3ep.ckpt")
+    save_ckpoints(variables, variables, 3, 0, None, None, path,
+                  async_save=False, include_optimizers=False)
+    restored = load_ckpoints(path, istrain=False)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        variables["codebook"], restored["codebook"])
+
+
 def test_ema_through_stacked_cps_step():
     """End-to-end: vq_cfg.ema flows through make_model -> the production
     stacked step updates the per-stage codebooks (and only with ema on)."""

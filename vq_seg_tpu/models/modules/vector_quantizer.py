@@ -60,7 +60,19 @@ class VectorQuantizer(nn.Module):
     supervised/selfsup steps do); assignment/STE/commitment in the same
     forward still use the pre-update codebook.  Under GSPMD the counts and
     sums reduce over the sharded batch/space axes automatically, so every
-    device computes the same update and the codebook stays replicated."""
+    device computes the same update and the codebook stays replicated.
+
+    ``restart_threshold > 0`` (``vq_cfg.restart_threshold``, requires
+    ``ema=True``) additionally revives dead codes: after the EMA update,
+    any code whose EMA cluster size fell below the threshold is reseeded
+    with the batch feature that the current codebook covers WORST (largest
+    quantization residual; distinct dead codes take distinct residual
+    ranks).  Deterministic — no RNG stream is needed inside the jitted
+    train step — and the classic split-the-worst-point heuristic places
+    revived codes where quantization error actually is, unlike uniform
+    random reseeding.  The reseeded code's EMA state resets to unit mass
+    at the feature.  OFF by default: the reference has no restart (its
+    code_usage telemetry just reports the dead fraction)."""
 
     dim: int
     num_embeddings: int
@@ -73,6 +85,7 @@ class VectorQuantizer(nn.Module):
     commitment_weight: float = 1.0
     num_codebook: int = 1
     ema: bool = False
+    restart_threshold: float = 0.0
 
     @property
     def _edim(self) -> int:
@@ -82,6 +95,10 @@ class VectorQuantizer(nn.Module):
     def __call__(self, x, train: bool = False, init_codebook: bool = False):
         if self.distance not in ("euclidean", "cosine"):
             raise ValueError(f"unknown distance {self.distance}")
+        if self.restart_threshold > 0 and not self.ema:
+            raise ValueError(
+                "restart_threshold requires ema=True (the EMA cluster size "
+                "is the usage signal that marks a code dead)")
         k, ed = self.num_embeddings, self._edim
 
         def _default_init():
@@ -148,6 +165,16 @@ class VectorQuantizer(nn.Module):
             new_cb = new_ea / smoothed[:, None]
             if self.distance == "cosine":
                 new_cb = l2norm(new_cb)
+            if self.restart_threshold > 0:
+                dead = new_cs < self.restart_threshold
+                # worst-covered batch features, one residual rank per code;
+                # wrap when the batch has fewer points than codes
+                err = jnp.sum((sg_feats - quantized) ** 2, axis=-1)
+                order = jnp.argsort(-err)
+                cand = sg_feats[order[jnp.arange(k) % order.shape[0]]]
+                new_cb = jnp.where(dead[:, None], cand, new_cb)
+                new_ea = jnp.where(dead[:, None], cand, new_ea)
+                new_cs = jnp.where(dead, jnp.ones_like(new_cs), new_cs)
             cluster_size.value, embed_avg.value = new_cs, new_ea
             codebook.value = new_cb
 
