@@ -170,8 +170,9 @@ class VectorQuantizer(nn.Module):
                 # worst-covered batch features, one residual rank per code;
                 # wrap when the batch has fewer points than codes
                 err = jnp.sum((sg_feats - quantized) ** 2, axis=-1)
-                order = jnp.argsort(-err)
-                cand = sg_feats[order[jnp.arange(k) % order.shape[0]]]
+                # top-k residuals only (k candidates), not a full N-sort
+                _, top = jax.lax.top_k(err, min(k, err.shape[0]))
+                cand = sg_feats[top[jnp.arange(k) % top.shape[0]]]
                 new_cb = jnp.where(dead[:, None], cand, new_cb)
                 new_ea = jnp.where(dead[:, None], cand, new_ea)
                 new_cs = jnp.where(dead, jnp.ones_like(new_cs), new_cs)
