@@ -90,7 +90,7 @@ def _flops_of(compiled):
 
 
 def run_profile(batch, hw, iters, half, scan_steps, decoder_channels=None,
-                seed=0, subpixel_tail=False):
+                seed=0, subpixel_tail=False, vq_extra=None):
     from contextlib import nullcontext
 
     from vq_seg_tpu.losses import make_loss
@@ -107,7 +107,8 @@ def run_profile(batch, hw, iters, half, scan_steps, decoder_channels=None,
     params = {
         "encoder_name": "resnet50", "num_classes": 3,
         "vq_cfg": {"num_embeddings": [0, 0, 512, 512, 512],
-                   "distance": "euclidean", "kmeans_init": True},
+                   "distance": "euclidean", "kmeans_init": True,
+                   **(vq_extra or {})},
         "margin": 0.5, "scale": 30.0, "depth": 5,
     }
     if decoder_channels is not None:

@@ -800,10 +800,14 @@ def ckpt_cadence(cfg, epoch: int, num_epochs: int):
     return do_snap, do_last, light
 
 
-def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
+def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None,
+          preempt=None):
     """Flagship CPS driver mirroring reference train() (train_…v2.py:48-274).
 
     Returns the final state (also checkpointed per the reference layout).
+    ``preempt`` injects a PreemptionGuard (tests); by default the driver
+    installs its own, which latches SIGTERM into a graceful epoch-boundary
+    shutdown with a full-contract last.ckpt (utils/preemption.py).
     """
     from itertools import cycle
 
@@ -989,9 +993,10 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
         eval_step = make_eval_fn(model, num_classes)
 
     from vq_seg_tpu.models.layers import compute_dtype
+    from vq_seg_tpu.utils.preemption import PreemptionGuard
 
     prec_ctx = (compute_dtype(jnp.bfloat16) if half else nullcontext())
-    with prec_ctx:
+    with prec_ctx, (preempt or PreemptionGuard()) as preempt:
         for epoch in range(start_epoch, num_epochs):
             trainloader = zip(cycle(iter(sup_loader)), iter(unsup_loader))
             sums: dict = {}
@@ -1073,6 +1078,10 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                 if cfg.train.save_img:
                     visualize.save_img(img_dir, f"output_{epoch}ep.png", example)
                 do_snap, do_last, light = ckpt_cadence(cfg, epoch, num_epochs)
+                if preempt.should_stop:
+                    # preemption: last.ckpt must carry the full resume
+                    # contract regardless of cadence
+                    do_last = True
                 if do_snap or do_last:
                     from vq_seg_tpu.utils.ckpoints import fetch_ckpt_tree
 
@@ -1103,6 +1112,10 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None):
                 logger.temp_update(list_to_separate_log(code_usage, "code_usage"))
                 logger.logging(epoch=epoch)
                 logger.config_update()
+            if preempt.should_stop:
+                print(f"preempted after epoch {epoch}: last.ckpt written — "
+                      "rerun with cfg.train.resume='auto' to continue")
+                break
     if log_txt is not None:
         log_txt.close()
     if logger is not None:
