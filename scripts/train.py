@@ -120,6 +120,10 @@ def main():
                              "for one chip's HBM; composes with "
                              "--data_parallel / --pair_parallel "
                              "(chips = data x model x space)")
+    parser.add_argument("--trace", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the run into "
+                             "DIR (view with TensorBoard / xprof; keep "
+                             "num_epochs small — trace whole-run)")
     opt = parser.parse_args()
     cfg = get_config_from_json(opt.config_path)
     if opt.zero:
@@ -134,32 +138,42 @@ def main():
                         pair_parallel=opt.pair_parallel,
                         spatial=opt.spatial)
 
-    if opt.mode == "cps":
-        from vq_seg_tpu.training import cps
+    def run():
+        if opt.mode == "cps":
+            from vq_seg_tpu.training import cps
 
-        cps.train(cfg, max_steps_per_epoch=opt.max_steps_per_epoch, mesh=mesh)
-    elif opt.mode == "sup":
-        from vq_seg_tpu.training import supervised
+            cps.train(cfg, max_steps_per_epoch=opt.max_steps_per_epoch, mesh=mesh)
+        elif opt.mode == "sup":
+            from vq_seg_tpu.training import supervised
 
-        supervised.train(cfg, max_steps_per_epoch=opt.max_steps_per_epoch, mesh=mesh)
-    elif opt.mode == "selfsup":
-        from vq_seg_tpu.training import selfsup
+            supervised.train(cfg, max_steps_per_epoch=opt.max_steps_per_epoch, mesh=mesh)
+        elif opt.mode == "selfsup":
+            from vq_seg_tpu.training import selfsup
 
-        selfsup.train(cfg, max_steps_per_epoch=opt.max_steps_per_epoch)
+            selfsup.train(cfg, max_steps_per_epoch=opt.max_steps_per_epoch)
+        else:
+            from vq_seg_tpu.training import variant_drivers
+
+            fn = {"plaincps": variant_drivers.train_plain_cps,
+                  "unimatch": variant_drivers.train_unimatch,
+                  "salientcps": variant_drivers.train_salient_cps,
+                  "vqpt": variant_drivers.train_vqpt_cps,
+                  "reptcps": variant_drivers.train_rept_cps,
+                  "angularv3": variant_drivers.train_angularv3_cps,
+                  "easyhard": variant_drivers.train_easyhard_cps,
+                  "objcps": variant_drivers.train_obj_cps,
+                  "supconcps": variant_drivers.train_supcon_cps,
+                  "semiweed": variant_drivers.train_semiweed}[opt.mode]
+            fn(cfg, max_steps_per_epoch=opt.max_steps_per_epoch, mesh=mesh)
+
+    if opt.trace:
+        from vq_seg_tpu.utils.profiling import trace
+
+        with trace(opt.trace):
+            run()
+        print(f"profiler trace written to {opt.trace}")
     else:
-        from vq_seg_tpu.training import variant_drivers
-
-        fn = {"plaincps": variant_drivers.train_plain_cps,
-              "unimatch": variant_drivers.train_unimatch,
-              "salientcps": variant_drivers.train_salient_cps,
-              "vqpt": variant_drivers.train_vqpt_cps,
-              "reptcps": variant_drivers.train_rept_cps,
-              "angularv3": variant_drivers.train_angularv3_cps,
-              "easyhard": variant_drivers.train_easyhard_cps,
-              "objcps": variant_drivers.train_obj_cps,
-              "supconcps": variant_drivers.train_supcon_cps,
-              "semiweed": variant_drivers.train_semiweed}[opt.mode]
-        fn(cfg, max_steps_per_epoch=opt.max_steps_per_epoch, mesh=mesh)
+        run()
 
 
 if __name__ == "__main__":

@@ -1,3 +1,4 @@
+import os
 import json
 
 import jax.numpy as jnp
@@ -79,3 +80,27 @@ def test_make_lr_schedule_from_cfg():
     )
     sched = make_lr_schedule(cfg, steps_per_epoch=10)
     np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-6)
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    """utils/profiling.trace captures a jax.profiler trace directory (the
+    scripts/train.py --trace flag wraps the run in exactly this context)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vq_seg_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        jax.jit(lambda x: x * 2)(jnp.ones((8, 8))).block_until_ready()
+    found = list((tmp_path).rglob("*.xplane.pb"))
+    assert found, f"no trace artifacts under {tmp_path}"
+
+
+def test_train_cli_exposes_trace_flag():
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "scripts/train.py", "--help"],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert r.returncode == 0 and "--trace" in r.stdout
