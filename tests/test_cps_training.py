@@ -196,3 +196,23 @@ def test_scan_steps_driver_matches_unscanned(synthetic_dataset, tmp_path):
     for pa, pb in zip(jax.tree_util.tree_leaves(plain.variables_1["params"]),
                       jax.tree_util.tree_leaves(scanned.variables_1["params"])):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=3e-4)
+
+
+def test_fused_step_rejects_ema_codebooks():
+    """vq_cfg.ema=true + the fused step would silently freeze the codebook
+    (the fused trunk keeps 'codebook' non-mutable), so construction must
+    raise instead (VERDICT r3 weak #3)."""
+    from vq_seg_tpu.training.cps import make_cps_train_step_fused
+
+    ema_model = make_model({"name": "vqreptunet1x1v2", "params": {
+        "encoder_name": "resnet18", "num_classes": 3,
+        "vq_cfg": {"num_embeddings": [0, 0, 8, 8, 8], "distance": "euclidean",
+                   "kmeans_init": True, "ema": True},
+        "margin": 0.5, "scale": 30.0,
+    }})
+    tx = optax.adam(1e-3)
+    dice = make_loss("dice_loss", 3, ignore_index=255)
+    with pytest.raises(ValueError, match="EMA"):
+        make_cps_train_step_fused(ema_model, tx, dice, num_classes=3,
+                                  confidence_threshold=0.7,
+                                  proto_margin=0.5, proto_scale=30.0)

@@ -66,3 +66,22 @@ def sample_dataset(name: str, data_root: str, save_root: str, percent: float,
     """Named-dataset convenience mirroring the reference __main__ usage."""
     pattern, fullmatch, total = DATASET_PATTERNS[name]
     return sampling(data_root, save_root, total, percent, pattern, fullmatch, seed=seed)
+
+
+if __name__ == "__main__":  # CLI mirroring the reference __main__ (sampling.py:63-72)
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Build semi-supervised percent splits")
+    ap.add_argument("--dataset", choices=sorted(DATASET_PATTERNS), default="CWFID")
+    ap.add_argument("--data_root", required=True,
+                    help="source root with train/{input,target} and test/")
+    ap.add_argument("--save_root", required=True,
+                    help="destination; writes percent_{P}/ under it")
+    ap.add_argument("--percent", type=float, nargs="+", default=[30, 20, 10],
+                    help="one or more label percentages (reference builds 30/20/10)")
+    ap.add_argument("--seed", type=int, default=None)
+    args = ap.parse_args()
+    for p in args.percent:
+        out = sample_dataset(args.dataset, args.data_root, args.save_root, p,
+                             seed=args.seed)
+        print(out)

@@ -568,10 +568,18 @@ def make_cps_train_step_fused(model, tx, dice_loss, *, num_classes: int,
 
     Only the flagship (x, gt, th)-signature nets are supported (the trunk
     must accept ``return_features=True``).  Equivalence vs the stacked step
-    is pinned in tests/test_cps_training.py.  Note: the opt-in EMA codebook
+    is pinned in tests/test_cps_training.py.  The opt-in EMA codebook
     update (vq_cfg.ema) is NOT applied by this experimental step (codebook
-    stays non-mutable here; the module-level is_mutable_collection guard
-    makes that a silent freeze, exactly the parity default)."""
+    stays non-mutable here, which would silently freeze the codebook), so
+    combining the two raises at construction time."""
+    _vq_cfg = getattr(model, "vq_cfg", None)
+    if _vq_cfg is not None and dict(_vq_cfg).get("ema", False):
+        raise ValueError(
+            "make_cps_train_step_fused does not apply the EMA codebook "
+            "update (vq_cfg.ema=true): the fused trunk keeps 'codebook' "
+            "non-mutable, which would silently freeze the codebook. Use the "
+            "stacked step (make_cps_train_step_stacked / the default "
+            "driver path) with EMA, or set vq_cfg.ema=false.")
     from vq_seg_tpu.models.layers import decoder_bn_params
     from vq_seg_tpu.models.modules.prototype import ReliablePrototypeLossv2
 
@@ -908,7 +916,7 @@ def train(cfg, max_steps_per_epoch: Optional[int] = None, mesh=None,
     # --pair_parallel); otherwise the stacked vmapped step runs DP
     pair = mesh is not None and dict(mesh.shape).get("model", 1) == 2
     # cfg.train.scan_steps: batch K optimizer steps into one device dispatch
-    # (measured 44.2 -> 55.8 img/s at 512^2 on the tunneled chip; identical
+    # (measured 44.2 -> 45.8 img/s at 512^2 on the tunneled chip; identical
     # numerics — see make_cps_multi_step)
     scan_k = int(cfg.train.get("scan_steps", 0) or 0)
     train_step = multi_step = None
