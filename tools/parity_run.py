@@ -42,9 +42,9 @@ from tools.torch_flagship import (
     torch_score_mask,
 )
 
-HW = 64
-NUM_EMB = (0, 0, 8, 8, 8)
-TH = 0.7
+HW = 64           # module-level defaults; main() overrides from argparse so
+NUM_EMB = (0, 0, 8, 8, 8)  # the flagship-scale gate (resnet50, K=512, 128^2)
+TH = 0.7                   # reuses the same code path (VERDICT r3 #3)
 LR = 1e-4
 PROTO_W = 0.01
 
@@ -136,18 +136,37 @@ def eval_miou_jax(model, variables, t_img, t_gt):
 
 
 def main():
+    global HW, NUM_EMB
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--encoder", default="resnet18")
+    ap.add_argument("--hw", type=int, default=64)
+    ap.add_argument("--k", type=int, default=8,
+                    help="codebook size per VQ stage (flagship: 512)")
+    ap.add_argument("--n_lab", type=int, default=4)
+    ap.add_argument("--n_unlab", type=int, default=4)
+    ap.add_argument("--n_test", type=int, default=4)
+    ap.add_argument("--family", default="argmax",
+                    choices=["argmax", "weedfield"],
+                    help="synthetic family (weedfield = the hard set)")
     ap.add_argument("--out", default="PARITY_RUN.md")
     args = ap.parse_args()
+    HW = args.hw
+    NUM_EMB = (0, 0, args.k, args.k, args.k)
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count() or 8)
 
-    (l_img, l_gt), ul_img, (t_img, t_gt) = make_synthetic()
+    if args.family == "weedfield":
+        from tools.synthetic_data import make_weedfield
+        (l_img, l_gt), ul_img, (t_img, t_gt) = make_weedfield(
+            hw=HW, n_lab=args.n_lab, n_unlab=args.n_unlab, n_test=args.n_test)
+    else:
+        (l_img, l_gt), ul_img, (t_img, t_gt) = make_synthetic(
+            args.n_lab, args.n_unlab, args.n_test)
 
     # --- JAX side -----------------------------------------------------------
     model = make_model({"name": "vqreptunet1x1v2", "params": {
-        "encoder_name": "resnet18", "num_classes": 3,
+        "encoder_name": args.encoder, "num_classes": 3,
         "vq_cfg": {"num_embeddings": list(NUM_EMB), "distance": "euclidean",
                    "kmeans_init": True},
         "margin": 0.5, "scale": 30.0}})
@@ -161,8 +180,8 @@ def main():
                                confidence_threshold=TH, remat=False)
 
     # --- torch side: same weights -------------------------------------------
-    tm1 = TorchVQRePTUnet1x1v2("resnet18", 3, NUM_EMB)
-    tm2 = TorchVQRePTUnet1x1v2("resnet18", 3, NUM_EMB)
+    tm1 = TorchVQRePTUnet1x1v2(args.encoder, 3, NUM_EMB)
+    tm2 = TorchVQRePTUnet1x1v2(args.encoder, 3, NUM_EMB)
     load_from_flax(tm1, jax.tree_util.tree_map(np.asarray, state.variables_1))
     load_from_flax(tm2, jax.tree_util.tree_map(np.asarray, state.variables_2))
     opt1 = torch.optim.Adam(tm1.parameters(), lr=LR, betas=(0.9, 0.999))
@@ -219,15 +238,18 @@ def main():
 
     ok = abs(miou_j - miou_t) <= 0.2
     with open(args.out, "w") as f:
-        f.write("# PARITY_RUN — composed training-dynamics gate (round 2)\n\n")
+        f.write("# PARITY_RUN — composed training-dynamics gate\n\n")
         f.write("The PyTorch reference cannot execute in this image (its encoders\n"
                 "subclass torchvision's ResNet — `models/encoders/resnet.py:117` —\n"
                 "and torchvision is not installed), so the torch side is a faithful\n"
                 "transcription of `train_vqreptunet1x1v2.py:129-202` + the flagship\n"
                 "net (tools/torch_flagship.py, provenance cited per component),\n"
-                "weight-synced from the JAX init so both frameworks start identical.\n\n")
-        f.write(f"Setup: {args.steps} CPS steps, {HW}x{HW} synthetic rule-based data "
-                f"(4 labeled + 4 unlabeled + 4 test), resnet18, VQ K={NUM_EMB[2]} at "
+                "weight-synced from the JAX init so both frameworks start identical.\n"
+                "Primitive-level parity against the reference's OWN modules executing\n"
+                "(VQ / losses / metrics / prototype) is tests/test_reference_oracle.py.\n\n")
+        f.write(f"Setup: {args.steps} CPS steps, {HW}x{HW} {args.family} synthetic data "
+                f"({args.n_lab} labeled + {args.n_unlab} unlabeled + {args.n_test} test), "
+                f"{args.encoder}, VQ K={NUM_EMB[2]} at "
                 f"stages 2-4, Adam {LR} (constant), fp32, th={TH}.\n\n")
         f.write(f"Forward parity at step 0 (same weights): |dlogits|max={fwd_out:.2e}, "
                 f"|dcommit|={fwd_commit:.2e}, |dproto|={fwd_proto:.2e}\n\n")
