@@ -50,6 +50,30 @@ def test_maxpool_matches_torch(rng):
     assert np.allclose(ours, theirs.permute(0, 2, 3, 1).numpy(), atol=1e-6)
 
 
+def test_maxpool_gradient_matches_torch_with_ties(rng):
+    """The custom VJP (layers.py: first-match routing instead of XLA's slow
+    select-and-scatter) must agree with torch even on tie-heavy post-ReLU
+    inputs, where >half the entries are exactly 0."""
+    x = np.maximum(rng.normal(size=(2, 9, 9, 4)), 0).astype(np.float32)
+    g = rng.normal(size=(2, 5, 5, 4)).astype(np.float32)
+    assert (x == 0).mean() > 0.3  # the tie regime is actually exercised
+
+    dx = np.asarray(jax.grad(
+        lambda a: (max_pool_same(a, 3, 2, 1) * jnp.asarray(g)).sum())(jnp.asarray(x)))
+    xt = torch.tensor(x.transpose(0, 3, 1, 2), requires_grad=True)
+    (F.max_pool2d(xt, 3, 2, 1) * torch.tensor(g.transpose(0, 3, 1, 2))).sum().backward()
+    assert np.allclose(dx, xt.grad.numpy().transpose(0, 2, 3, 1), atol=1e-6)
+
+
+def test_upsample_ac_matmul_path_matches_gather_path(rng):
+    """C<128 runs the MXU lerp-matrix path; it must match the wide-channel
+    gather+lerp path on the same data (and hence torch, tested below)."""
+    x = rng.normal(size=(2, 6, 5, 130)).astype(np.float32)
+    wide = np.asarray(upsample_bilinear_ac(jnp.asarray(x), size=(11, 9)))
+    narrow = np.asarray(upsample_bilinear_ac(jnp.asarray(x[..., :3]), size=(11, 9)))
+    assert np.allclose(narrow, wide[..., :3], atol=1e-6)
+
+
 def test_bilinear_resize_matches_torch(rng):
     x = rng.normal(size=(1, 5, 5, 2)).astype(np.float32)
     ours = np.asarray(resize_bilinear(jnp.asarray(x), (10, 10)))

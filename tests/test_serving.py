@@ -100,6 +100,26 @@ def test_bf16_profile_close_to_f32(setup):
     assert agreement >= 0.8, agreement
 
 
+def test_int8_predictor_close_to_f32(setup):
+    model, variables, imgs = setup
+    f32 = Predictor(model, variables, input_hw=(HW, HW), batch_size=2,
+                    half=False)
+    q8 = Predictor(model, variables, input_hw=(HW, HW), batch_size=2,
+                   quant="int8")
+    # weights really are stored int8 (not just recast)
+    kernels = [a for a in jax.tree_util.tree_leaves(q8._vars["params"])
+               if a.ndim >= 2]
+    assert kernels and all(k.dtype == jnp.int8 for k in kernels)
+    agreement = float(np.mean(f32(imgs) == q8(imgs)))
+    assert agreement >= 0.8, agreement
+
+
+def test_int8_predictor_rejects_unknown_quant(setup):
+    model, variables, _ = setup
+    with pytest.raises(ValueError):
+        Predictor(model, variables, input_hw=(HW, HW), quant="int4")
+
+
 def test_mesh_sharded_predictor_matches_single(setup):
     """Multi-chip serving: the batch shards over the mesh's data axis and
     weights replicate; eval has no cross-sample coupling, so the sharded

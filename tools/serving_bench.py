@@ -36,7 +36,7 @@ from vq_seg_tpu.models.networks import make_model
 from vq_seg_tpu.serving import Predictor
 
 
-def build(batch, hw, half):
+def build(batch, hw, half, quant=None):
     model = make_model({"name": "vqreptunet1x1v2", "params": {
         "encoder_name": "resnet50", "num_classes": 3,
         "vq_cfg": {"num_embeddings": [0, 0, 512, 512, 512],
@@ -48,7 +48,7 @@ def build(batch, hw, half):
     variables = model.init(jax.random.PRNGKey(0), x0)
     t0 = time.time()
     pred = Predictor(model, variables, input_hw=(hw, hw), batch_size=batch,
-                     half=half)
+                     half=half, quant=quant)
     return pred, time.time() - t0
 
 
@@ -97,22 +97,45 @@ def bench_stream(pred, hw, iters=30):
     return n / dt
 
 
+def accuracy_delta_int8(hw, n=8):
+    """Per-pixel argmax agreement of int8 vs f32 predictors on the hard
+    weedfield synthetic set (tools/synthetic_data.py) — the accuracy gate
+    for the int8 serving row.  (The bench model is random-init, so mIoU is
+    meaningless here; the trained-weights delta belongs to the user's
+    checkpoint, gated the same way.)"""
+    from tools.synthetic_data import make_weedfield
+
+    (imgs, _), _, _ = make_weedfield(hw=min(hw, 256), n_lab=n, n_unlab=0,
+                                     n_test=0)
+    u8 = (imgs * 255).astype(np.uint8)
+    f32p, _ = build(n, u8.shape[1], half=False)
+    q8p, _ = build(n, u8.shape[1], half=False, quant="int8")
+    agree = float(np.mean(f32p(u8) == q8p(u8)))
+    return {"argmax_agreement_vs_f32": round(agree, 4)}
+
+
 def main():
+    profiles = [("bf16", dict(half=True)), ("f32", dict(half=False)),
+                ("int8", dict(half=True, quant="int8"))]
+    only = os.environ.get("PROFILES")
+    if only:
+        profiles = [p for p in profiles if p[0] in only.split(",")]
     hw = int(os.environ.get("HW", "512"))
     out = {"hw": hw, "backend": jax.default_backend()}
-    for half in (True, False):
-        key = "bf16" if half else "f32"
-        p1, build_s = build(1, hw, half)
+    for key, kw in profiles:
+        p1, build_s = build(1, hw, **kw)
         p50, p90 = bench_latency(p1, hw)
         out[key] = {"build_s": round(build_s, 1),
                     "batch1_p50_ms": round(p50, 1),
                     "batch1_p90_ms": round(p90, 1),
                     "batch1_device_ms": round(bench_device_only(p1, hw), 2)}
         del p1
-        p8, _ = build(8, hw, half)
+        p8, _ = build(8, hw, **kw)
         out[key]["batch8_device_ms"] = round(bench_device_only(p8, hw), 2)
         out[key]["batch8_stream_img_per_s"] = round(bench_stream(p8, hw), 2)
         del p8
+        if key == "int8":
+            out[key]["vs_f32"] = accuracy_delta_int8(hw)
     print(json.dumps(out))
 
 

@@ -15,6 +15,7 @@ TPU-first notes:
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -178,13 +179,67 @@ class ConvBNReLU(nn.Module):
         return x
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def max_pool_same(x, window: int = 3, stride: int = 2, padding: int = 1):
     """torch MaxPool2d(k, s, p): explicit -inf padding (nn.max_pool pads the
-    reduce_window identity, which for max is -inf — matching torch)."""
+    reduce_window identity, which for max is -inf — matching torch).
+
+    Custom VJP: XLA's default gradient is a ``select-and-scatter`` — a
+    windowed sequential scan the TPU backend executes ~20x off memory
+    bandwidth (round-4 trace: 3.8 ms/step of the flagship default for the
+    stem pool alone).  The backward below re-derives the routing as
+    ``window^2`` fused compare + interior-pad + add steps: position (di,dj)
+    of each window claims the incoming gradient iff it equals the max AND no
+    earlier (row-major) position claimed it — the same first-match routing
+    torch and select-and-scatter use, so gradients are bit-identical, but
+    everything is elementwise/pad work XLA fuses into one loop fusion.
+    """
     return nn.max_pool(
         x, (window, window), strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
     )
+
+
+def _max_pool_same_fwd(x, window, stride, padding):
+    y = nn.max_pool(
+        x, (window, window), strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+    )
+    return y, (x, y)
+
+
+def _max_pool_same_bwd(window, stride, padding, res, g):
+    x, y = res
+    n, h, w, c = x.shape
+    oh, ow = y.shape[1], y.shape[2]
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+                 constant_values=-jnp.inf)
+    hp, wp = h + 2 * padding, w + 2 * padding
+    span_h, span_w = (oh - 1) * stride + 1, (ow - 1) * stride + 1
+    zero = jnp.zeros((), g.dtype)
+    dxp = jnp.zeros((n, hp, wp, c), g.dtype)
+    assigned = jnp.zeros((n, oh, ow, c), bool)
+    for di in range(window):
+        for dj in range(window):
+            x_win = jax.lax.slice(xp, (0, di, dj, 0),
+                                  (n, di + span_h, dj + span_w, c),
+                                  (1, stride, stride, 1))
+            take = (x_win == y) & ~assigned
+            contrib = jnp.where(take, g, zero)
+            # interior padding scatters the stride-2 output grid back onto
+            # input positions di + stride*k — no scatter op, fuses with add
+            dxp = dxp + jax.lax.pad(contrib, zero, (
+                (0, 0, 0),
+                (di, hp - di - span_h, stride - 1),
+                (dj, wp - dj - span_w, stride - 1),
+                (0, 0, 0)))
+            assigned = assigned | take
+    dx = jax.lax.slice(dxp, (0, padding, padding, 0),
+                       (n, padding + h, padding + w, c))
+    return (dx,)
+
+
+max_pool_same.defvjp(_max_pool_same_fwd, _max_pool_same_bwd)
 
 
 def global_avg_pool(x, keepdims: bool = True):
@@ -226,14 +281,29 @@ def _ac_weights(in_size: int, out_size: int):
     return i0, i0 + 1, w
 
 
+def _lerp_matrix(in_size: int, out_size: int):
+    """(out, in) interpolation matrix for align_corners bilinear: each row
+    holds the two lerp weights of `_ac_weights` (<=2 nonzeros)."""
+    i0, i1, w = _ac_weights(in_size, out_size)
+    m = np.zeros((out_size, in_size), np.float32)
+    np.add.at(m, (np.arange(out_size), i0), 1.0 - w)
+    np.add.at(m, (np.arange(out_size), i1), w)
+    return m
+
+
 def upsample_bilinear_ac(x, scale: int | None = None, size: Tuple[int, int] | None = None):
     """nn.UpsamplingBilinear2d: bilinear with align_corners=True (NHWC).
 
-    Static gather + lerp along H then W; shapes are trace-time constants so
-    XLA sees two fused gathers.  For narrow channel counts (C < 128 — e.g.
-    the 3-class head output) the lane dimension would be mostly idle, so the
-    interpolation runs in an NCHW-internal layout with W in lanes (measured
-    2x faster at C=3, bit-identical).
+    For narrow channel counts (C < 128 — e.g. the 3-class head output at
+    full resolution) a gather+lerp leaves the TPU lane dimension idle and
+    XLA picks pathological layouts for the gathered tensors — profiled at
+    ~15 ms/step of the flagship default (round-4 trace: the 7 ms
+    `add_bitcast_fusion` + six ~1.4 ms gather fusions all pointed here).
+    Instead the two 1-D lerps are expressed as small constant matmuls
+    (out_h x h and out_w x w, <=2 nonzeros per row) contracted on the MXU
+    at HIGHEST precision: zero gathers, zero transposes, and the zeros
+    contribute exactly 0.0f so results match the lerp formula to the ulp.
+    For wide channels the lane-friendly gather+lerp stays.
     """
     n, h, w, c = x.shape
     if size is None:
@@ -241,13 +311,17 @@ def upsample_bilinear_ac(x, scale: int | None = None, size: Tuple[int, int] | No
     oh, ow = size
     if (oh, ow) == (h, w):
         return x
+    if c < 128:
+        mh = jnp.asarray(_lerp_matrix(h, oh))
+        mw = jnp.asarray(_lerp_matrix(w, ow))
+        dt = x.dtype
+        x = jnp.einsum("oh,nhwc->nowc", mh, x.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+        x = jnp.einsum("pw,nhwc->nhpc", mw, x,
+                       precision=jax.lax.Precision.HIGHEST)
+        return x.astype(dt)
     i0, i1, wy = _ac_weights(h, oh)
     j0, j1, wx = _ac_weights(w, ow)
-    if c < 128:
-        z = x.transpose(0, 3, 1, 2)  # (N, C, H, W): W in lanes
-        z = (1.0 - wy)[None, None, :, None] * z[:, :, i0] + wy[None, None, :, None] * z[:, :, i1]
-        z = (1.0 - wx)[None, None, None, :] * z[:, :, :, j0] + wx[None, None, None, :] * z[:, :, :, j1]
-        return z.transpose(0, 2, 3, 1)
     x = (1.0 - wy)[None, :, None, None] * x[:, i0] + wy[None, :, None, None] * x[:, i1]
     x = (1.0 - wx)[None, None, :, None] * x[:, :, j0] + wx[None, None, :, None] * x[:, :, j1]
     return x
