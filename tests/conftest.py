@@ -52,6 +52,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="include tests marked slow / multidevice (the full CI-style run)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast inner loop by default (VERDICT r4 #8): tests marked ``slow`` or
+    ``multidevice`` (long compiles, 8-device GSPMD programs, e2e drivers)
+    are skipped unless --runslow, RUN_SLOW=1, or an explicit -m selects
+    them.  Full run: ``pytest tests --runslow`` (README 'Tests')."""
+    if (config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1"
+            or config.getoption("-m")):
+        return
+    skip = pytest.mark.skip(reason="slow/multidevice: use --runslow (or -m)")
+    for item in items:
+        if "slow" in item.keywords or "multidevice" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

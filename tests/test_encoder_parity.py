@@ -65,6 +65,32 @@ def test_maxpool_gradient_matches_torch_with_ties(rng):
     assert np.allclose(dx, xt.grad.numpy().transpose(0, 2, 3, 1), atol=1e-6)
 
 
+def test_layer_impl_toggles_are_numerically_identical(rng):
+    """set_layer_impl switches implementations, never numerics: both arms of
+    each round-4 rewrite (max_pool backward, C<128 upsample) must agree on
+    values AND gradients so the round-5 step-level A/B compares speed only."""
+    from vq_seg_tpu.models.layers import _LAYER_IMPL, set_layer_impl
+
+    x = np.maximum(rng.normal(size=(2, 9, 9, 4)), 0).astype(np.float32)
+    g = rng.normal(size=(2, 5, 5, 4)).astype(np.float32)
+    u = rng.normal(size=(2, 6, 5, 3)).astype(np.float32)
+    saved = dict(_LAYER_IMPL)
+    try:
+        outs = []
+        for flag in (True, False):
+            set_layer_impl(max_pool_custom_vjp=flag, upsample_matmul=flag)
+            y, dx = jax.value_and_grad(
+                lambda a: (max_pool_same(a, 3, 2, 1) * jnp.asarray(g)).sum()
+            )(jnp.asarray(x))
+            up = upsample_bilinear_ac(jnp.asarray(u), size=(11, 9))
+            outs.append((np.asarray(y), np.asarray(dx), np.asarray(up)))
+    finally:
+        set_layer_impl(**saved)
+    assert np.allclose(outs[0][0], outs[1][0], atol=1e-6)
+    assert np.allclose(outs[0][1], outs[1][1], atol=1e-6)
+    assert np.allclose(outs[0][2], outs[1][2], atol=1e-5)
+
+
 def test_upsample_ac_matmul_path_matches_gather_path(rng):
     """C<128 runs the MXU lerp-matrix path; it must match the wide-channel
     gather+lerp path on the same data (and hence torch, tested below)."""

@@ -15,6 +15,10 @@ import pytest
 
 from vq_seg_tpu.parallel import batch_sharding, make_mesh, replicated
 
+# every test here compiles GSPMD programs over the 8-device virtual mesh
+# (~7 min for the module even warm) — excluded from the default fast run
+pytestmark = pytest.mark.multidevice
+
 
 @pytest.fixture(scope="module")
 def flagship():

@@ -179,21 +179,55 @@ class ConvBNReLU(nn.Module):
         return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+# ---------------------------------------------------------------------------
+# Layer-implementation toggles (trace-time globals, same idiom as the compute
+# dtype above).  Both "optimized" variants shipped in round 4 on per-op trace
+# evidence; round 5 A/B-measures them at the STEP level (tools/ab_layers_r05.py)
+# and keeps only what wins end-to-end.  Toggles let the A/B run both arms from
+# one build and let tests pin the two arms numerically equal.
+# ---------------------------------------------------------------------------
+_LAYER_IMPL = {"max_pool_custom_vjp": True, "upsample_matmul": True}
+
+
+def set_layer_impl(**kwargs):
+    """Override layer implementation choices at trace time.
+
+    Keys: ``max_pool_custom_vjp`` (unrolled compare+pad backward vs XLA's
+    select-and-scatter), ``upsample_matmul`` (constant-matmul align-corners
+    upsample for C<128 vs gather+lerp)."""
+    for k, v in kwargs.items():
+        if k not in _LAYER_IMPL:
+            raise KeyError(k)
+        _LAYER_IMPL[k] = bool(v)
+
+
 def max_pool_same(x, window: int = 3, stride: int = 2, padding: int = 1):
     """torch MaxPool2d(k, s, p): explicit -inf padding (nn.max_pool pads the
     reduce_window identity, which for max is -inf — matching torch).
 
-    Custom VJP: XLA's default gradient is a ``select-and-scatter`` — a
-    windowed sequential scan the TPU backend executes ~20x off memory
-    bandwidth (round-4 trace: 3.8 ms/step of the flagship default for the
-    stem pool alone).  The backward below re-derives the routing as
-    ``window^2`` fused compare + interior-pad + add steps: position (di,dj)
-    of each window claims the incoming gradient iff it equals the max AND no
-    earlier (row-major) position claimed it — the same first-match routing
-    torch and select-and-scatter use, so gradients are bit-identical, but
-    everything is elementwise/pad work XLA fuses into one loop fusion.
+    Two backward implementations, toggled by set_layer_impl (gradients are
+    bit-identical — tests/test_networks.py pins them):
+
+      * custom VJP: XLA's default gradient is a ``select-and-scatter`` — a
+        windowed sequential scan the TPU backend executes ~20x off memory
+        bandwidth per the round-4 per-op trace.  The backward re-derives the
+        routing as ``window^2`` fused compare + interior-pad + add steps:
+        position (di,dj) of each window claims the incoming gradient iff it
+        equals the max AND no earlier (row-major) position claimed it — the
+        same first-match routing torch and select-and-scatter use, but
+        everything is elementwise/pad work XLA fuses into one loop fusion.
+      * plain nn.max_pool with XLA's native select-and-scatter gradient.
     """
+    if _LAYER_IMPL["max_pool_custom_vjp"]:
+        return _max_pool_same_vjp(x, window, stride, padding)
+    return nn.max_pool(
+        x, (window, window), strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _max_pool_same_vjp(x, window: int = 3, stride: int = 2, padding: int = 1):
     return nn.max_pool(
         x, (window, window), strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
@@ -239,7 +273,7 @@ def _max_pool_same_bwd(window, stride, padding, res, g):
     return (dx,)
 
 
-max_pool_same.defvjp(_max_pool_same_fwd, _max_pool_same_bwd)
+_max_pool_same_vjp.defvjp(_max_pool_same_fwd, _max_pool_same_bwd)
 
 
 def global_avg_pool(x, keepdims: bool = True):
@@ -311,7 +345,7 @@ def upsample_bilinear_ac(x, scale: int | None = None, size: Tuple[int, int] | No
     oh, ow = size
     if (oh, ow) == (h, w):
         return x
-    if c < 128:
+    if c < 128 and _LAYER_IMPL["upsample_matmul"]:
         mh = jnp.asarray(_lerp_matrix(h, oh))
         mw = jnp.asarray(_lerp_matrix(w, ow))
         dt = x.dtype
