@@ -182,11 +182,22 @@ class ConvBNReLU(nn.Module):
 # ---------------------------------------------------------------------------
 # Layer-implementation toggles (trace-time globals, same idiom as the compute
 # dtype above).  Both "optimized" variants shipped in round 4 on per-op trace
-# evidence; round 5 A/B-measures them at the STEP level (tools/ab_layers_r05.py)
-# and keeps only what wins end-to-end.  Toggles let the A/B run both arms from
-# one build and let tests pin the two arms numerically equal.
+# evidence; the round-5 STEP-level A/B (tools/ab_layers_r05.py, real v5e,
+# AB_LAYERS_R05.json) measured the flagship default profile:
+#
+#   max_pool_custom_vjp  upsample_matmul   img/s    ms/step
+#          True               True         37.86    211.3   (round-4 shipped)
+#          False              True         46.12    173.5   <- shipped default
+#          True               False        37.36    214.1
+#          False              False        45.39    176.3   (round-3 behavior)
+#
+# The max_pool custom VJP's per-op trace win (3.8 ms) was real but its 9-tap
+# unrolled backward costs ~38 ms/step of extra HBM traffic at 512^2 — a 19%
+# END-TO-END regression (the BENCH_r04 mystery).  It stays available behind
+# the toggle for narrow shapes; the default is XLA's select-and-scatter.
+# The matmul upsample is a genuine +1.6% at step level and stays on.
 # ---------------------------------------------------------------------------
-_LAYER_IMPL = {"max_pool_custom_vjp": True, "upsample_matmul": True}
+_LAYER_IMPL = {"max_pool_custom_vjp": False, "upsample_matmul": True}
 
 
 def set_layer_impl(**kwargs):
@@ -206,17 +217,17 @@ def max_pool_same(x, window: int = 3, stride: int = 2, padding: int = 1):
     reduce_window identity, which for max is -inf — matching torch).
 
     Two backward implementations, toggled by set_layer_impl (gradients are
-    bit-identical — tests/test_networks.py pins them):
+    bit-identical — tests/test_encoder_parity.py pins them):
 
-      * custom VJP: XLA's default gradient is a ``select-and-scatter`` — a
-        windowed sequential scan the TPU backend executes ~20x off memory
-        bandwidth per the round-4 per-op trace.  The backward re-derives the
-        routing as ``window^2`` fused compare + interior-pad + add steps:
-        position (di,dj) of each window claims the incoming gradient iff it
-        equals the max AND no earlier (row-major) position claimed it — the
-        same first-match routing torch and select-and-scatter use, but
-        everything is elementwise/pad work XLA fuses into one loop fusion.
-      * plain nn.max_pool with XLA's native select-and-scatter gradient.
+      * plain nn.max_pool with XLA's native select-and-scatter gradient —
+        the DEFAULT: the round-5 step-level A/B (AB_LAYERS_R05.json)
+        measured it 46.1 vs 37.9 img/s on the flagship step.
+      * custom VJP re-deriving the routing as ``window^2`` fused compare +
+        interior-pad + add steps (same first-match routing as torch /
+        select-and-scatter).  Its per-op trace looked 3.8 ms cheaper for
+        the stem pool, but the 9 full-size padded adds cost ~38 ms/step of
+        HBM traffic at 512^2 — the BENCH_r04 regression.  Kept behind the
+        toggle as a reference implementation.
     """
     if _LAYER_IMPL["max_pool_custom_vjp"]:
         return _max_pool_same_vjp(x, window, stride, padding)
