@@ -90,7 +90,7 @@ def _flops_of(compiled):
 
 
 def run_profile(batch, hw, iters, half, scan_steps, decoder_channels=None,
-                seed=0, subpixel_tail=False, vq_extra=None):
+                seed=0, subpixel_tail=False, vq_extra=None, fused=False):
     from contextlib import nullcontext
 
     from vq_seg_tpu.losses import make_loss
@@ -100,6 +100,7 @@ def run_profile(batch, hw, iters, half, scan_steps, decoder_channels=None,
         cps_init_phase,
         create_cps_state,
         make_cps_multi_step,
+        make_cps_train_step_fused,
         make_cps_train_step_stacked,
         stack_cps_state,
     )
@@ -125,9 +126,16 @@ def run_profile(batch, hw, iters, half, scan_steps, decoder_channels=None,
         state = create_cps_state(model, tx, (x0, gt0, 0.7))
         state = cps_init_phase(model, state, x0, gt0, 0.7)
         state = stack_cps_state(state, tx)
-        step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
-                                           confidence_threshold=0.7,
-                                           remat=not half)
+        # Step composition is BATCH-DEPENDENT (round-5 A/B, real v5e): the
+        # fused (model x pass)-vmapped step wins at bs4 (47.0 vs 46.1 —
+        # conv batch 16 fills the MXU better than 8) but LOSES at bs8
+        # (74.5 vs 82.5 tuned — batch 16 already saturates, the 4x trunk
+        # only adds working-set pressure).  Both compositions are the same
+        # semantics (equivalence-tested, tests/test_cps_training.py);
+        # drivers opt in via cfg.train.fused_step for small-batch configs.
+        make = make_cps_train_step_fused if fused else make_cps_train_step_stacked
+        step = make(model, tx, dice, num_classes=3,
+                    confidence_threshold=0.7, remat=not half)
         # the production driver's scan_steps path: K optimizer steps per
         # device dispatch over pre-staged batches (cfg.train.scan_steps;
         # numerics identical — tests/test_cps_training.py)
@@ -156,7 +164,7 @@ def run_profile(batch, hw, iters, half, scan_steps, decoder_channels=None,
 
 def main(hw: int = 512, iters: int = 4, half: bool = True,
          scan_steps: int = 8):
-    default = run_profile(4, hw, iters, half, scan_steps)
+    default = run_profile(4, hw, iters, half, scan_steps, fused=True)
     tuned = run_profile(8, hw, iters, half, scan_steps,
                         decoder_channels=(256, 128, 64, 48, 32), seed=1)
     # third profile: + subpixel decoder tail (equal accuracy, 3-seed paired

@@ -216,3 +216,40 @@ def test_fused_step_rejects_ema_codebooks():
         make_cps_train_step_fused(ema_model, tx, dice, num_classes=3,
                                   confidence_threshold=0.7,
                                   proto_margin=0.5, proto_scale=30.0)
+
+
+@pytest.mark.slow
+def test_fused_step_config_knob_through_train(tmp_path, synthetic_dataset):
+    """cfg.train.fused_step=True routes cps.train through
+    make_cps_train_step_fused (round-5 composition A/B: fused wins at small
+    batch).  Two epochs must run and produce finite losses."""
+    from vq_seg_tpu.config import Config
+    from vq_seg_tpu.training import cps
+
+    cfg = Config({
+        "project_name": "fused_knob", "wandb_logging": False,
+        "num_classes": 3, "pixel_to_label": {"0": 0, "128": 1, "255": 2},
+        "resize": 32,
+        "model": {"name": "vqreptunet1x1v2", "params": {
+            "encoder_name": "resnet18", "num_classes": 3, "depth": 5,
+            "vq_cfg": {"num_embeddings": [0, 0, 4, 4, 4],
+                       "distance": "euclidean", "kmeans_init": True},
+            "margin": 0.5, "scale": 30.0}},
+        "train": {"data_dir": synthetic_dataset,
+                  "save_dir": str(tmp_path / "runs"),
+                  "num_epochs": 2, "batch_size": 2, "learning_rate": 1e-4,
+                  "lr_scheduler": {"name": "cosineannealing", "min_lr": 1e-7,
+                                   "warmup_steps": 0},
+                  "half": False, "init_weights": True,
+                  "bn_eps": 1e-5, "bn_momentum": 0.1,
+                  "criterion": {"name": "dice_loss"}, "cps_loss_weight": 1,
+                  "total_commitment_loss_weight": 1,
+                  "total_prototype_loss_weight": 0.01,
+                  "confidence_threshold": 0.7, "resume": None,
+                  "save_img": False, "save_txt": False, "fused_step": True},
+        "test": {"data_dir": synthetic_dataset,
+                 "save_dir": str(tmp_path / "t"), "batch_size": 1,
+                 "weights": None},
+    })
+    state = cps.train(cfg)
+    assert state is not None

@@ -26,6 +26,7 @@ def test_sup_forward_mode_dispatch():
     assert sup_forward_mode("vqreptunet1x1v2") == "gt_extra"
 
 
+@pytest.mark.slow
 def test_sup_train_step_gt_mode_runs():
     """vqptunet through the supervised step (previously a TypeError)."""
     from vq_seg_tpu.losses import make_loss
@@ -281,6 +282,7 @@ def test_grad_accum_matches_large_batch():
     np.testing.assert_allclose(np.asarray(params["w"]), [0.5, 0.5, 1.0])
 
 
+@pytest.mark.slow
 def test_cps_checkpoints_without_wandb(tmp_path, synthetic_dataset):
     """VERDICT #8: logging-off training still writes ckpoints/last.ckpt."""
     from vq_seg_tpu.config import Config

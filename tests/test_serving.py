@@ -100,6 +100,7 @@ def test_bf16_profile_close_to_f32(setup):
     assert agreement >= 0.8, agreement
 
 
+@pytest.mark.slow
 def test_int8_predictor_close_to_f32(setup):
     model, variables, imgs = setup
     f32 = Predictor(model, variables, input_hw=(HW, HW), batch_size=2,

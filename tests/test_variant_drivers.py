@@ -5,6 +5,11 @@ import os
 import numpy as np
 import pytest
 
+# each driver test runs a real (shrunk) e2e training loop — 1-2 min apiece
+# on this host; the default fast run covers the same modes at unit level
+# (tests/test_variants_and_tools.py), the full run adds these with --runslow
+pytestmark = pytest.mark.slow
+
 from vq_seg_tpu.config import Config
 
 

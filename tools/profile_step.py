@@ -84,6 +84,7 @@ def capture(profile: str, hw=512, scan_steps=8, logdir_base="/tmp/profile_step")
     # Optimized HLO text (fusion bodies) — lets parse() classify each
     # %fusion.N trace event as convolution vs loop vs data-formatting.
     hlo_text = multi.lower(state, *batches).compile().as_text()
+    os.makedirs(logdir_base, exist_ok=True)
     with open(os.path.join(logdir_base, f"{profile}.hlo.txt"), "w") as f:
         f.write(hlo_text)
     # warm up / compile outside the trace
