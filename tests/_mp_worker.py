@@ -14,7 +14,13 @@ import os
 import sys
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4"
+                           # AVX2 cap so persistent-cache entries round-trip
+                           # (see tests/conftest.py) + raised collective
+                           # rendezvous timeouts for loaded hosts
+                           " --xla_cpu_max_isa=AVX2"
+                           " --xla_cpu_collective_timeout_seconds=900"
+                           " --xla_cpu_collective_call_terminate_timeout_seconds=900")
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -22,6 +28,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache shared with the suite: the 8-device GSPMD CPS
+# program takes ~50 s to compile per worker; cached HLO makes repeat runs
+# (and the driver dryrun's embedded smoke) near-instant
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import optax  # noqa: E402

@@ -137,6 +137,9 @@ def make_weedfield(hw=64, n_lab=4, n_unlab=4, n_test=4, seed=0, native_scale=4):
     rng = np.random.default_rng(seed + 7_000_000)
 
     def gen(n):
+        if n == 0:
+            return (np.zeros((0, hw, hw, 3), np.float32),
+                    np.zeros((0, hw, hw), np.int32))
         pairs = [make_weedfield_image(rng, hw, native_scale) for _ in range(n)]
         return (np.stack([p[0] for p in pairs]),
                 np.stack([p[1] for p in pairs]))
