@@ -22,6 +22,20 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+# persistent compile cache shared with the test suite: the three variant
+# programs are shape-identical across seeds, so every seed after the first
+# runs compile-free (the multi-seed gate spawns one process per seed).
+# AVX2 cap so XLA:CPU cache entries pass the load-time host-feature check
+# (see tests/conftest.py) — set before the backend client is created.
+if "xla_cpu_max_isa" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_cpu_max_isa=AVX2").strip()
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", "tests", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -61,15 +61,23 @@ def run_seed(seed, epochs, hw):
                        timeout=7200)
     if r.returncode != 0:
         raise RuntimeError(f"seed {seed} failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
-    # last line is the full results json
-    results = json.loads(r.stdout.strip().splitlines()[-1]
-                         if r.stdout.strip().splitlines()[-1].startswith("{")
-                         else "{}")
-    if not results:
-        for line in reversed(r.stdout.strip().splitlines()):
-            if line.startswith("{") and REF in line:
-                results = json.loads(line)
-                break
+    # the child prints one single-line {"variant": {...}} json per variant
+    # (its final summary is multi-line, indented — skip it); merge them all
+    results = {}
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            for k, v in obj.items():
+                if isinstance(v, dict) and "test_miou" in v:
+                    results[k] = v
+    missing = {REF, *PROFILES} - set(results)
+    if missing:
+        raise RuntimeError(f"seed {seed}: missing variants {missing}:\n"
+                           f"{r.stdout[-1500:]}")
     return {k: v["test_miou"] for k, v in results.items()}
 
 
@@ -82,9 +90,17 @@ def main():
     args = ap.parse_args()
 
     per_seed = {}
+    partial = args.out + ".partial"
+    if os.path.exists(partial):  # resume a killed run
+        per_seed = {int(k): v for k, v in json.load(open(partial)).items()}
+        print(f"resuming: {sorted(per_seed)} already done", flush=True)
     for seed in range(args.seeds):
+        if seed in per_seed:
+            continue
         per_seed[seed] = run_seed(seed, args.epochs, args.hw)
         print(json.dumps({"seed": seed, **per_seed[seed]}), flush=True)
+        with open(partial, "w") as f:
+            json.dump(per_seed, f)
 
     report = {"seeds": args.seeds, "epochs": args.epochs, "hw": args.hw,
               "per_seed": per_seed, "profiles": {}}

@@ -47,6 +47,7 @@ def build_multi_step(batch, hw, scan_steps, decoder_channels, subpixel_tail,
         cps_init_phase,
         create_cps_state,
         make_cps_multi_step,
+        make_cps_train_step_fused,
         make_cps_train_step_stacked,
         stack_cps_state,
     )
@@ -69,9 +70,11 @@ def build_multi_step(batch, hw, scan_steps, decoder_channels, subpixel_tail,
         state = create_cps_state(model, tx, (l_imgs[0], gts[0], 0.7))
         state = cps_init_phase(model, state, l_imgs[0], gts[0], 0.7)
         state = stack_cps_state(state, tx)
-        step = make_cps_train_step_stacked(model, tx, dice, num_classes=3,
-                                           confidence_threshold=0.7,
-                                           remat=not half)
+        # mirror bench.py's per-profile composition (round-5 A/B): fused
+        # (model x pass) step at bs<=4, stacked at bs8
+        make = make_cps_train_step_fused if batch <= 4 else make_cps_train_step_stacked
+        step = make(model, tx, dice, num_classes=3,
+                    confidence_threshold=0.7, remat=not half)
         # make_cps_multi_step already jits with state donation — same
         # program as bench.py, so the persistent compile cache hits.
         multi = make_cps_multi_step(step, scan_steps)
