@@ -142,7 +142,15 @@ class ContrastAttention(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        std = jnp.sqrt(jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True))
+        # gradient-safe std (attention.py:254 sqrt(nanmean((x-mean)^2))):
+        # at a 1x1 spatial map the variance is EXACTLY 0 and sqrt'(0)=inf
+        # poisons every upstream gradient in one step (torch hits the same
+        # NaN).  Forward is identical; the double-where routes the v==0
+        # gradient to 0 instead of inf — a strictly-better divergence that
+        # only triggers on degenerate spatial sizes.
+        v = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+        safe = jnp.maximum(v, jnp.finfo(jnp.result_type(v)).tiny)
+        std = jnp.where(v > 0, jnp.sqrt(safe), 0.0)
         w = mean + std
         w = ConvPad(self.in_channels // 16, 1, use_bias=True)(w)
         w = nn.relu(w)

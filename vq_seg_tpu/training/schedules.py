@@ -61,4 +61,28 @@ def make_lr_schedule(train_cfg, steps_per_epoch: int):
             total_iters=total_iters,
             warmup_steps=sched_cfg.get("warmup_steps", 0),
         )
+    if sched_cfg.name == "poly":
+        # reference utils/lr_schedulers.py:58-63: lr * (1 - iter/max)^power,
+        # power default 0.9 (config/vq_pt_unet_easyhard.json uses this name)
+        return warmup_poly(
+            train_cfg.learning_rate,
+            lr_power=sched_cfg.get("power", 0.9),
+            total_iters=total_iters,
+            warmup_steps=0,
+        )
+    if sched_cfg.name == "multistep":
+        # reference :53-57: step decay x0.1 at each milestone EPOCH
+        # (default milestones: num_epochs/3 spacing, :35-41)
+        default_ms = list(range(0, int(train_cfg.num_epochs),
+                                max(1, int(train_cfg.num_epochs) // 3)))[1:]
+        ms = [int(m) * steps_per_epoch
+              for m in sched_cfg.get("milestones", default_ms)]
+        base = float(train_cfg.learning_rate)
+
+        def schedule(step):
+            step = jnp.asarray(step, jnp.float32)
+            power = sum(jnp.where(step >= m, 1.0, 0.0) for m in ms)
+            return base * jnp.power(0.1, power)
+
+        return schedule
     raise ValueError(f"unknown lr scheduler: {sched_cfg.name}")
