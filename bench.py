@@ -181,7 +181,7 @@ def main(hw: int = 512, iters: int = 4, half: bool = True,
         "model_tflops_per_s": round(default["tflops"], 2),
         "ms_per_step": round(default["ms_per_step"], 2),
         "tuned": {
-            "profile": "equal-accuracy decoder plan (256,128,64,48,32) + bs 8+8",
+            "profile": "narrow decoder plan (256,128,64,48,32; throughput option, multi-seed gate: -0.02 mean mIoU) + bs 8+8",
             "value": round(tuned["ips"], 3),
             "unit": "images/sec",
             "vs_baseline": round(tuned["ips"] / (5 * CPU_BASELINE_IPS), 3),
@@ -190,8 +190,7 @@ def main(hw: int = 512, iters: int = 4, half: bool = True,
             "ms_per_step": round(tuned["ms_per_step"], 2),
         },
         "tuned_subpixel": {
-            "profile": "tuned + subpixel decoder tail (equal-accuracy, "
-                       "3-seed gate)",
+            "profile": "tuned + subpixel decoder tail (the SUPPORTED profile; multi-seed paired mean +0.012)",
             "value": round(tuned_sp["ips"], 3),
             "unit": "images/sec",
             "vs_baseline": round(tuned_sp["ips"] / (5 * CPU_BASELINE_IPS), 3),
